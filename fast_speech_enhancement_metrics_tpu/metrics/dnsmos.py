@@ -1,0 +1,11 @@
+"""Placeholder — implemented in a later milestone this round."""
+
+from fast_speech_enhancement_metrics_tpu.base import BaseMetric
+
+
+class DNSMOS(BaseMetric):
+    higher_is_better = True
+    EXPECTED_SAMPLING_RATE = 16000
+
+    def _compute(self, clean, denoised):
+        raise NotImplementedError("DNSMOS is not implemented yet")

@@ -1,0 +1,54 @@
+"""Log-Spectral Distance (urgent2025 recipe), TPU-native.
+
+Behavioral contract (reference: fast_se_metrics/LSD.py:6-52, itself following
+the urgent2025 challenge recipe):
+
+* project the denoised signal onto the clean signal (least-squares scale),
+* centered STFT, n_fft = 0.032*sr, hop = 0.016*sr, Hann window, constant pad
+  (librosa-compatible magnitudes),
+* LSD = mean_t sqrt(mean_f [log(|C|^2 / (|D|+eps)^2 + eps)]^2).
+
+TPU design: one fused jitted graph; the clean/denoised pair rides a single
+leading batch axis (2B) through the STFT so XLA sees one FFT; scores reduce to
+a (B,) vector on device.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fast_speech_enhancement_metrics_tpu.base import BaseMetric
+from fast_speech_enhancement_metrics_tpu.ops.stft import spectrogram
+
+
+class LSD(BaseMetric):
+    higher_is_better = False
+    EXPECTED_SAMPLING_RATE = 16000
+
+    def __init__(self, sample_rate: int = 16000, **kw):
+        super().__init__(sample_rate, **kw)
+        self.nfft = int(self.EXPECTED_SAMPLING_RATE * 0.032)
+        self.hop = int(self.EXPECTED_SAMPLING_RATE * 0.016)
+        self.p = 2
+        self.eps = 1e-8
+
+    def _compute(self, clean, denoised):
+        assert clean is not None
+        batch = clean.shape[0]
+        scale = jnp.sum(clean * denoised, axis=1, keepdims=True) / (
+            jnp.sum(denoised * denoised, axis=1, keepdims=True) + self.eps
+        )
+        denoised = denoised * scale
+
+        speech = jnp.concatenate([clean, denoised], axis=0)
+        # magnitude spectrogram, frames-major: (2B, F_frames, nfft//2+1)
+        mag = spectrogram(speech, self.nfft, self.hop, center=True, power=1.0)
+        c, d = mag[:batch], mag[batch:]
+
+        log_ratio = jnp.log(jnp.square(c) / jnp.square(d + self.eps) + self.eps)
+        # reference reduces over freq first (dim=1 of (B, freq, frames) =
+        # freq), then over frames; our layout is (B, frames, freq)
+        lsd = jnp.mean(
+            jnp.sqrt(jnp.mean(log_ratio**self.p, axis=2)), axis=1
+        )
+        return {"LSD": lsd}

@@ -1,0 +1,39 @@
+"""LSD agreement vs float64 NumPy oracle (analogue of tests/reference/test_lsd.py)."""
+
+import numpy as np
+import pytest
+
+from fast_speech_enhancement_metrics_tpu import LSD
+from tests.oracles.lsd_oracle import lsd_oracle
+
+
+def test_lsd_agreement(speech_data):
+    metric = LSD()
+    results = metric(speech_data["speech"], speech_data["noisy_speech"])
+    ours = np.array([r["LSD"] for r in results])
+    expected = lsd_oracle(speech_data["speech"], speech_data["noisy_speech"])
+    np.testing.assert_allclose(ours, expected, rtol=2e-4, atol=2e-4)
+
+
+def test_lsd_identical_inputs(speech_data):
+    # Note: LSD(c, c) is not 0 under the urgent2025 recipe — exactly-silent
+    # frames contribute log(eps)^2 — but it must agree with the oracle and be
+    # strictly better (lower) than LSD against the noisy signal.
+    metric = LSD()
+    same = metric(speech_data["speech"], speech_data["speech"])
+    ours = np.array([r["LSD"] for r in same])
+    expected = lsd_oracle(speech_data["speech"], speech_data["speech"])
+    np.testing.assert_allclose(ours, expected, rtol=2e-4, atol=2e-4)
+
+    noisy = metric(speech_data["speech"], speech_data["noisy_speech"])
+    assert all(s["LSD"] < n["LSD"] for s, n in zip(same, noisy))
+
+
+def test_lsd_single_utterance(speech_data):
+    metric = LSD()
+    results = metric(speech_data["speech"][0], speech_data["noisy_speech"][0])
+    assert len(results) == 1
+    expected = lsd_oracle(
+        speech_data["speech"][:1], speech_data["noisy_speech"][:1]
+    )
+    assert results[0]["LSD"] == pytest.approx(float(expected[0]), rel=2e-4, abs=2e-4)
