@@ -1,11 +1,218 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""STOI / ESTOI (Taal short-time objective intelligibility), TPU-native.
+
+Behavioral contract (reference: fast_se_metrics/STOI.py:7-205, itself matching
+pystoi to abs 5e-4):
+
+* 10 kHz, 256-sample Hann frames, hop 128,
+* silent-frame removal: drop frames >40 dB below the loudest clean frame,
+  overlap-add the survivors back into a signal,
+* 512-point STFT (window center-padded), 15 one-third-octave bands from
+  150 Hz, sqrt of band energies,
+* sliding 30-frame segments; STOI normalizes per (band, segment) with a
+  clip at -15 dB SDR; ESTOI additionally row-normalizes across bands,
+* score = mean segment correlation.
+
+TPU design — everything static-shape under jit:
+
+* ragged "remove silent frames" becomes a stable-argsort *compaction*
+  (kept frames gathered to the front, tail zeroed) — no boolean indexing,
+* 50 %-overlap OLA is a pad-and-add of the two frame halves — no scatter,
+* the clean/denoised pair rides one doubled batch axis through the STFT,
+* per-utterance raggedness is carried as a ``lengths`` vector + masks,
+* segment extraction is a static gather; correlations are masked reductions.
+
+Known deviation: the reference injects 1e-12-scale Gaussian noise inside
+``normalize`` (STOI.py:116) purely to avoid 0/0 on padded segments, making its
+results nondeterministic at the 1e-12 level. We use a guarded divide instead —
+deterministic, and identical to well within the 5e-4 contract.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
 
 from fast_speech_enhancement_metrics_tpu.base import BaseMetric
+from fast_speech_enhancement_metrics_tpu.ops.stft import frame as frame_op
+from fast_speech_enhancement_metrics_tpu.ops.stft import hann_window
+
+
+def third_octave_band_matrix(
+    num_bands: int = 15,
+    min_frequency: float = 150.0,
+    n_fft: int = 512,
+    sample_rate: int = 10000,
+) -> np.ndarray:
+    """0/1 matrix mapping rFFT bins to 1/3-octave bands (float64-derived)."""
+    num_frequencies = n_fft // 2 + 1
+    freqs = np.linspace(0, sample_rate // 2, num_frequencies, dtype=np.float64)
+    k = np.arange(num_bands, dtype=np.float64)
+    f_low = min_frequency * 2.0 ** ((2 * k - 1) / 6)
+    f_high = min_frequency * 2.0 ** ((2 * k + 1) / 6)
+    obm = np.zeros((num_bands, num_frequencies), dtype=np.float64)
+    for i in range(num_bands):
+        lo = int(np.argmin(np.abs(freqs - f_low[i])))
+        hi = int(np.argmin(np.abs(freqs - f_high[i])))
+        obm[i, lo:hi] = 1.0
+    return obm.astype(np.float32)
 
 
 class STOI(BaseMetric):
     higher_is_better = True
-    EXPECTED_SAMPLING_RATE = 16000
+    EXPECTED_SAMPLING_RATE = 10000
+
+    def __init__(self, sample_rate: int = 10000, **kw):
+        super().__init__(sample_rate, **kw)
+        self.win_length = 256
+        self.hop = self.win_length // 2
+        self.n_fft = 512
+        self.num_octave_bands = 15
+        self.N = 30  # frames per intermediate-intelligibility segment
+        self.beta = -15.0  # lower SDR clip bound (dB)
+        self.dynamic_range = 40.0
+        self.obm = third_octave_band_matrix(
+            self.num_octave_bands, 150.0, self.n_fft, self.EXPECTED_SAMPLING_RATE
+        )
+        # asymmetric Hann used by pystoi and the reference (STOI.py:24)
+        self.window = hann_window(self.win_length + 1)[1:]
+        # STFT window: the 256-tap window center-padded to 512 (torch.stft rule)
+        self.stft_window = np.pad(self.window, (128, 128))
+
+    # -- silent-frame removal (static shapes) --------------------------------
+
+    def _remove_silent_frames(self, clean, denoised):
+        win = jnp.asarray(self.window)
+        c_frames = frame_op(clean, self.win_length, self.hop) * win
+        d_frames = frame_op(denoised, self.win_length, self.hop) * win
+
+        energies = 20.0 * jnp.log10(
+            jnp.linalg.norm(c_frames, axis=2) + 1e-9
+        )
+        keep = (
+            jnp.amax(energies, axis=1, keepdims=True) - self.dynamic_range - energies
+        ) < 0  # (B, F)
+        num_kept = jnp.sum(keep, axis=1)  # (B,)
+
+        # stable compaction: kept frames to the front, original order preserved
+        order = jnp.argsort(jnp.logical_not(keep), axis=1, stable=True)
+        slot_valid = (
+            jnp.arange(keep.shape[1])[None, :] < num_kept[:, None]
+        )  # (B, F)
+        c_kept = jnp.take_along_axis(c_frames, order[:, :, None], axis=1)
+        d_kept = jnp.take_along_axis(d_frames, order[:, :, None], axis=1)
+        c_kept = c_kept * slot_valid[:, :, None]
+        d_kept = d_kept * slot_valid[:, :, None]
+
+        # 50%-overlap OLA: out chunk j = second_half[j-1] + first_half[j]
+        def ola(frames):
+            a = frames[:, :, : self.hop]
+            b = frames[:, :, self.hop :]
+            chunks = jnp.pad(a, ((0, 0), (0, 1), (0, 0))) + jnp.pad(
+                b, ((0, 0), (1, 0), (0, 0))
+            )
+            return chunks.reshape(frames.shape[0], -1)
+
+        lengths = (num_kept + 1) * self.hop
+        return ola(c_kept), ola(d_kept), lengths
+
+    # -- spectral front-end ---------------------------------------------------
+
+    def _band_envelopes(self, speech, lengths):
+        """(2B, T') -> sqrt third-octave band energies (2B, F_spec, 15), masked."""
+        frames = frame_op(speech, self.n_fft, self.hop) * jnp.asarray(
+            self.stft_window
+        )
+        spec = jnp.fft.rfft(frames, axis=-1)
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # (2B, F_spec, 257)
+
+        spec_lengths = 1 + (lengths - self.n_fft) // self.hop
+        t_idx = jnp.arange(power.shape[1])
+        valid = t_idx[None, :] < spec_lengths[:, None]
+        power = power * valid[:, :, None]
+
+        tob = jnp.sqrt(
+            jnp.einsum("bfk,jk->bfj", power, jnp.asarray(self.obm), precision="highest")
+        )
+        return tob  # (2B, F_spec, 15)
+
+    # -- segment machinery ----------------------------------------------------
+
+    @staticmethod
+    def _segments(tob, n_seg, n_frames):
+        """(B, F, 15) -> (B, n_seg, 15, N) sliding windows over the frame axis.
+
+        Stacked static slices (stride-1 windows), not a gather — same shape
+        the reference builds with a Python list of views (STOI.py:126), but
+        XLA sees N cheap slice ops.
+        """
+        seg = jnp.stack(
+            [tob[:, m : m + n_seg, :] for m in range(n_frames)], axis=-1
+        )  # (B, n_seg, 15, N)
+        return seg
+
+    @staticmethod
+    def _normalize(x, axis):
+        x = x - jnp.mean(x, axis=axis, keepdims=True)
+        norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+        return x / jnp.maximum(norm, 1e-30)
+
+    def _equalize_clip(self, clean_seg, denoised_seg):
+        consts = jnp.linalg.norm(clean_seg, axis=3, keepdims=True) / (
+            jnp.linalg.norm(denoised_seg, axis=3, keepdims=True) + 1e-9
+        )
+        normalized = denoised_seg * consts
+        clip_value = 10.0 ** (-self.beta / 20.0)
+        return jnp.minimum(normalized, clean_seg * (1.0 + clip_value))
+
+    # -- main -----------------------------------------------------------------
 
     def _compute(self, clean, denoised):
-        raise NotImplementedError("STOI is not implemented yet")
+        assert clean is not None
+        batch = clean.shape[0]
+        n_frames_sig = 1 + (clean.shape[1] - self.win_length) // self.hop
+        # reconstructed signal has (F+1)*hop samples -> F-2 STFT frames
+        n_spec = 1 + ((n_frames_sig + 1) * self.hop - self.n_fft) // self.hop
+        n_seg = n_spec - self.N + 1
+        if n_seg <= 0:
+            warnings.warn(
+                "Not enough non-silent frames. Please check your sound files",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            zero = jnp.zeros((batch,), dtype=clean.dtype)
+            return {"STOI": zero, "ESTOI": zero}
+
+        c_sig, d_sig, lengths = self._remove_silent_frames(clean, denoised)
+
+        speech = jnp.concatenate([c_sig, d_sig], axis=0)
+        tob = self._band_envelopes(speech, jnp.concatenate([lengths, lengths]))
+        seg = self._segments(tob, n_seg, self.N)  # (2B, n_seg, 15, N)
+        clean_seg, denoised_seg = seg[:batch], seg[batch:]
+
+        equalized = self._equalize_clip(clean_seg, denoised_seg)
+
+        clean_stoi = self._normalize(clean_seg, axis=3)
+        equalized = self._normalize(equalized, axis=3)
+
+        clean_estoi = self._normalize(self._normalize(clean_seg, axis=3), axis=2)
+        denoised_estoi = self._normalize(
+            self._normalize(denoised_seg, axis=3), axis=2
+        )
+
+        num_segments = jnp.maximum(
+            (lengths - self.n_fft) // self.hop - self.N + 2, 0
+        )
+        seg_mask = (
+            jnp.arange(n_seg)[None, :] < num_segments[:, None]
+        ).astype(clean.dtype)
+
+        def correlation(a, b, normalization):
+            comp = a * b * seg_mask[:, :, None, None]
+            return jnp.sum(comp, axis=(1, 2, 3)) / normalization
+
+        stoi = correlation(clean_stoi, equalized, self.num_octave_bands)
+        estoi = correlation(clean_estoi, denoised_estoi, self.N)
+
+        return {"STOI": stoi / num_segments, "ESTOI": estoi / num_segments}

@@ -16,6 +16,8 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
+from fast_speech_enhancement_metrics_tpu.ops.stft import frame
+
 
 @functools.lru_cache(maxsize=None)
 def sinc_resample_kernel(
@@ -60,8 +62,7 @@ def resample(x: jnp.ndarray, orig_freq: int, new_freq: int, **kw) -> jnp.ndarray
     xp = jnp.pad(x, pad)
     k = kernel.shape[1]
     f = 1 + (xp.shape[-1] - k) // orig
-    idx = np.arange(f)[:, None] * orig + np.arange(k)[None, :]
-    frames = xp[..., idx]  # (..., F, K)
+    frames = frame(xp, k, orig)  # (..., F, K) — gather-free framing
     out = jnp.einsum(
         "...fk,pk->...fp",
         frames,

@@ -41,26 +41,32 @@ def num_frames(length: int, frame_length: int, hop: int) -> int:
 def frame(x: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
     """Slice ``x`` (..., T) into overlapping frames (..., F, frame_length).
 
-    Equivalent to ``torch.Tensor.unfold(-1, frame_length, hop)``. Uses
-    reshape+concat when ``frame_length % hop == 0`` (zero-gather path),
-    otherwise a static gather.
+    Equivalent to ``torch.Tensor.unfold(-1, frame_length, hop)``. Avoids XLA
+    gathers entirely for the overlapping case (hop <= frame_length): the
+    signal is reshaped into hop-sized chunks and each frame is a concat of
+    ``ceil(frame_length/hop)`` shifted chunk views, sliced back down — pure
+    reshape/slice/concat, which XLA fuses into cheap copies. Gathers of
+    (F, frame_length) index matrices compile pathologically slowly and run
+    orders of magnitude slower than this path.
     """
     t = x.shape[-1]
     f = num_frames(t, frame_length, hop)
     if f <= 0:
         return jnp.zeros(x.shape[:-1] + (0, frame_length), dtype=x.dtype)
 
-    if frame_length % hop == 0:
-        # frame_length = k*hop: frame j = concat(chunk_j, ..., chunk_{j+k-1})
-        k = frame_length // hop
-        n_chunks = f + k - 1
-        usable = n_chunks * hop
-        xc = x[..., :usable].reshape(x.shape[:-1] + (n_chunks, hop))
-        parts = [xc[..., i : i + f, :] for i in range(k)]
-        return jnp.concatenate(parts, axis=-1)
+    if hop > frame_length:  # gapped framing (unused by the metrics): gather
+        idx = np.arange(f)[:, None] * hop + np.arange(frame_length)[None, :]
+        return x[..., idx]
 
-    idx = np.arange(f)[:, None] * hop + np.arange(frame_length)[None, :]
-    return x[..., idx]
+    k = -(-frame_length // hop)  # chunks per frame
+    n_chunks = f + k - 1
+    usable = n_chunks * hop
+    if usable > t:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, usable - t)])
+    xc = x[..., :usable].reshape(x.shape[:-1] + (n_chunks, hop))
+    parts = [xc[..., i : i + f, :] for i in range(k)]
+    frames_full = jnp.concatenate(parts, axis=-1)
+    return frames_full[..., :frame_length]
 
 
 @functools.lru_cache(maxsize=None)

@@ -1,0 +1,59 @@
+"""STOI/ESTOI agreement vs the float64 ragged oracle
+(analogue of tests/reference/test_stoi.py, tolerance abs 5e-4 vs pystoi)."""
+
+import numpy as np
+
+from fast_speech_enhancement_metrics_tpu import STOI
+from fast_speech_enhancement_metrics_tpu.utils.audio import load_audio_data
+from tests.oracles.dsp import sinc_resample
+from tests.oracles.stoi_oracle import stoi_oracle
+
+
+def test_stoi_agreement_native_rate():
+    # feed 10 kHz audio directly so the oracle and metric share the resampler-free path
+    speech, noisy, _ = load_audio_data(4, 4, 10000)
+    metric = STOI(sample_rate=10000)
+    results = metric(speech, noisy)
+    expected_stoi, expected_estoi = stoi_oracle(speech, noisy)
+    np.testing.assert_allclose(
+        [r["STOI"] for r in results], expected_stoi, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        [r["ESTOI"] for r in results], expected_estoi, atol=5e-4
+    )
+
+
+def test_stoi_agreement_16khz(speech_data):
+    # 16 kHz inputs exercise the internal 16k->10k resample; oracle resamples
+    # with the same float64 kernel math
+    metric = STOI(sample_rate=16000)
+    results = metric(speech_data["speech"], speech_data["noisy_speech"])
+    c10 = sinc_resample(speech_data["speech"].astype(np.float64), 16000, 10000)
+    d10 = sinc_resample(speech_data["noisy_speech"].astype(np.float64), 16000, 10000)
+    expected_stoi, expected_estoi = stoi_oracle(c10, d10)
+    np.testing.assert_allclose(
+        [r["STOI"] for r in results], expected_stoi, atol=5e-4
+    )
+    np.testing.assert_allclose(
+        [r["ESTOI"] for r in results], expected_estoi, atol=5e-4
+    )
+
+
+def test_stoi_perfect_and_ordering():
+    speech, noisy, _ = load_audio_data(4, 4, 10000)
+    metric = STOI(sample_rate=10000)
+    same = metric(speech, speech)
+    for r in same:
+        assert r["STOI"] > 0.999 and r["ESTOI"] > 0.999
+    noisy_scores = metric(speech, noisy)
+    assert np.mean([r["STOI"] for r in noisy_scores]) < np.mean(
+        [r["STOI"] for r in same]
+    )
+
+
+def test_stoi_monotonic_in_snr(high_snr_speech_data, low_snr_speech_data):
+    metric = STOI(sample_rate=16000)
+    hi = metric(high_snr_speech_data["speech"], high_snr_speech_data["noisy_speech"])
+    lo = metric(low_snr_speech_data["speech"], low_snr_speech_data["noisy_speech"])
+    for key in ("STOI", "ESTOI"):
+        assert np.mean([r[key] for r in hi]) > np.mean([r[key] for r in lo])
