@@ -1,11 +1,204 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""PESQ (ITU-T P.862 wideband MOS-LQO), TPU-native.
+
+Behavioral contract (reference: fast_se_metrics/PESQ.py:13-245, which follows
+the ITU P.862 reference implementation minus time alignment, with an IIR level
+alignment): joint range equalization, 325–3250 Hz band level alignment to 1e7
+power, tapered pre-emphasis, 512/256 Hann power spectrogram, 49-band Bark
+pooling with power-density correction, silent-frame band/frame power
+equalization, Zwicker loudness, deadzoned disturbance, width-weighted
+symmetric (L2) and asymmetric (L1) norms, 20/10 overlapping L6–RMS
+aggregation, and the P.862 logistic MOS mapping.
+
+TPU design decisions (none of this mirrors the reference's implementation):
+
+* both IIR filters (5th-order Butterworth band-pass, pre-emphasis biquad) run
+  as frequency-domain multiplies over one big rFFT (see ops/iir.py) — no
+  sequential recursion anywhere in the graph,
+* the clean/denoised pair rides a doubled batch axis (2B) through the filter +
+  STFT + Bark + loudness pipeline so XLA sees one kernel chain,
+* Bark pooling is a single (2B·F, 256) x (256, 49) matmul on the MXU,
+* every data-dependent branch of the reference (masked assignments, in-place
+  clamps) is expressed as ``jnp.where``/``clip`` so the whole metric is one
+  fused jitted graph with a single (B,) output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.signal import butter
 
 from fast_speech_enhancement_metrics_tpu.base import BaseMetric
+from fast_speech_enhancement_metrics_tpu.ops.bark import bark_constants
+from fast_speech_enhancement_metrics_tpu.ops.iir import lfilter_fft
+from fast_speech_enhancement_metrics_tpu.ops.stft import frame as frame_op
+from fast_speech_enhancement_metrics_tpu.ops.stft import spectrogram
+
+#: pre-emphasis biquad from the ITU reference (fast_se_metrics/PESQ.py:84-88)
+PRE_EMPHASIS_B = (2.740826, -5.4816519, 2.740826)
+PRE_EMPHASIS_A = (1.0, -1.9444777, 0.94597794)
 
 
 class PESQ(BaseMetric):
     higher_is_better = True
     EXPECTED_SAMPLING_RATE = 16000
 
+    def __init__(self, sample_rate: int = 16000, **kw):
+        super().__init__(sample_rate, **kw)
+        self.nbarks = 49
+        self.n_fft = 512
+        self.hop = 256
+
+        # 325–3250 Hz band-power filter for level alignment (P.862 quirk
+        # constants included: +5120 sample count, /1.04684 correction)
+        b, a = butter(5, [325, 3250], fs=self.EXPECTED_SAMPLING_RATE, btype="band")
+        self.power_filter = (tuple(np.float32(b)), tuple(np.float32(a)))
+
+        self.consts = bark_constants(self.nbarks, self.n_fft // 2)
+        # 15-sample raised ramps applied to the signal edges before
+        # pre-emphasis (P.862 taper)
+        self.taper = (np.arange(1, 16, dtype=np.float32) / 16.0)
+
+    # -- time-domain conditioning --------------------------------------------
+
+    def _equalize_ranges(self, clean, noisy):
+        max_value = jnp.maximum(
+            jnp.amax(jnp.abs(clean), axis=1, keepdims=True),
+            jnp.amax(jnp.abs(noisy), axis=1, keepdims=True),
+        )
+        return clean / max_value, noisy / max_value
+
+    def _align_level(self, speech):
+        """Scale so the 325–3250 Hz band power is 1e7 (P.862 level alignment)."""
+        filtered = lfilter_fft(speech, self.power_filter[0], self.power_filter[1])
+        power = jnp.sum(jnp.square(filtered), axis=1, keepdims=True)
+        power = power / (speech.shape[1] + 5120) / 1.04684
+        return speech * jnp.sqrt(1e7 / power)
+
+    def _pre_emphasize(self, speech):
+        taper = jnp.asarray(self.taper)
+        t = speech.shape[1]
+        edge = jnp.ones((t,), dtype=speech.dtype)
+        edge = edge.at[:15].set(taper).at[-15:].set(taper[::-1])
+        speech = speech * edge
+        return lfilter_fft(speech, PRE_EMPHASIS_B, PRE_EMPHASIS_A)
+
+    # -- spectral path --------------------------------------------------------
+
+    def _bark_bands(self, speech):
+        """(2B, T) -> (2B, F, 49) Bark-pooled power densities."""
+        speech = self._align_level(speech)
+        speech = self._pre_emphasize(speech)
+
+        # P.862 alignment quirk: pad *by* (not to a multiple of) T % 256
+        pad_amount = speech.shape[1] % self.hop
+        if pad_amount > 0:
+            speech = jnp.pad(speech, ((0, 0), (0, pad_amount)))
+
+        power = spectrogram(speech, self.n_fft, self.hop, center=False, power=2.0)
+        # drop the energy (DC) feature; pool bins 1..255 onto Bark bands
+        power = power.at[:, :, 0].set(0.0)
+        bark = jnp.einsum(
+            "bfk,jk->bfj",
+            power[:, :, :-1],
+            jnp.asarray(self.consts["fbank"]),
+            precision="highest",
+        )
+        return bark * jnp.asarray(self.consts["pow_dens"])
+
+    # -- perceptual model -----------------------------------------------------
+
+    def _audible_frame_power(self, bark, threshold_factor):
+        thresholds = jnp.asarray(self.consts["thresholds"])
+        audible = bark > thresholds * threshold_factor
+        return jnp.sum(bark * audible, axis=2, keepdims=True)  # (B, F, 1)
+
+    def _mean_audible_band_power(self, bark, frame_is_silent):
+        thresholds = jnp.asarray(self.consts["thresholds"])
+        mask = (bark > thresholds * 100.0) & (~frame_is_silent)
+        return jnp.mean(bark * mask, axis=1)  # (B, 49)
+
+    def _equalize_bark_bands(self, clean_bark, noisy_bark):
+        frame_is_silent = self._audible_frame_power(clean_bark, 1e2) < 1e7
+
+        mean_clean = self._mean_audible_band_power(clean_bark, frame_is_silent)
+        mean_noisy = self._mean_audible_band_power(noisy_bark, frame_is_silent)
+
+        band_ratio = (mean_noisy + 1000.0) / (mean_clean + 1000.0)
+        band_ratio = jnp.clip(band_ratio, 0.01, 100.0)
+        eq_clean = band_ratio[:, None, :] * clean_bark
+
+        frame_ratio = (self._audible_frame_power(eq_clean, 1.0) + 5e3) / (
+            self._audible_frame_power(noisy_bark, 1.0) + 5e3
+        )
+        # one-step exponential smoothing along frames (P.862)
+        frame_ratio = jnp.concatenate(
+            [frame_ratio[:, :1], 0.8 * frame_ratio[:, 1:] + 0.2 * frame_ratio[:, :-1]],
+            axis=1,
+        )
+        frame_ratio = jnp.clip(frame_ratio, 3e-4, 5.0)
+        eq_noisy = frame_ratio * noisy_bark
+        return eq_clean, eq_noisy
+
+    def _loudness(self, bark):
+        """Zwicker loudness law (reference: fast_se_metrics/utils/loudness.py:62-67)."""
+        thresholds = jnp.asarray(self.consts["thresholds"])
+        exp = jnp.asarray(self.consts["zwicker_exp"])
+        loud = (2.0 * thresholds) ** exp * (
+            (0.5 + 0.5 * bark / thresholds) ** exp - 1.0
+        )
+        loud = jnp.where(bark <= thresholds, 0.0, loud)
+        return loud * 1.866055e-01  # Sl_16k
+
+    def _weighted_norm(self, x, p):
+        """Band-width-weighted p-norm over Bark bands 1.. (P.862)."""
+        width = jnp.asarray(self.consts["width_bark"])
+        total = self.consts["total_width"]
+        scaled = (width * x / total ** (1.0 / p))[:, :, 1:]
+        return total * jnp.sum(jnp.abs(scaled) ** p, axis=2) ** (1.0 / p)
+
+    @staticmethod
+    def _overlapping_sums(disturbance):
+        """20-frame windows, hop 10: L6 mean per window, then RMS over windows."""
+        frames = frame_op(disturbance, 20, 10)
+        psqm = jnp.mean(frames**6, axis=2) ** (1.0 / 6.0)
+        return jnp.sqrt(jnp.mean(jnp.square(psqm), axis=1))
+
+    # -- main -----------------------------------------------------------------
+
     def _compute(self, clean, denoised):
-        raise NotImplementedError("PESQ is not implemented yet")
+        assert clean is not None
+        batch = clean.shape[0]
+
+        clean, noisy = self._equalize_ranges(clean, denoised)
+        bark = self._bark_bands(jnp.concatenate([clean, noisy], axis=0))
+        eq_clean, eq_noisy = self._equalize_bark_bands(bark[:batch], bark[batch:])
+
+        loudness = self._loudness(jnp.concatenate([eq_clean, eq_noisy], axis=0))
+        clean_loud, noisy_loud = loudness[:batch], loudness[batch:]
+
+        deadzone = 0.25 * jnp.minimum(clean_loud, noisy_loud)
+        raw = noisy_loud - clean_loud
+        disturbance = jnp.sign(raw) * jnp.maximum(jnp.abs(raw) - deadzone, 0.0)
+
+        symmetric = jnp.maximum(self._weighted_norm(disturbance, 2.0), 1e-20)
+
+        asym_scaling = ((eq_noisy + 50.0) / (eq_clean + 50.0)) ** 1.2
+        asym_scaling = jnp.where(asym_scaling < 3.0, 0.0, asym_scaling)
+        asym_scaling = jnp.minimum(asym_scaling, 12.0)
+        asymmetric = jnp.maximum(
+            self._weighted_norm(disturbance * asym_scaling, 1.0), 1e-20
+        )
+
+        weight = (
+            (self._audible_frame_power(eq_clean, 1.0)[..., 0] + 1e5) / 1e7
+        ) ** 0.04
+        symmetric = jnp.minimum(symmetric / weight, 45.0)
+        asymmetric = jnp.minimum(asymmetric / weight, 45.0)
+
+        sym_dist = self._overlapping_sums(symmetric)
+        asym_dist = self._overlapping_sums(asymmetric)
+
+        mos = 4.5 - 0.1 * sym_dist - 0.0309 * asym_dist
+        mos = 0.999 + 4.0 / (1.0 + jnp.exp(-1.3669 * mos + 3.8224))
+        return {"PESQ": mos}

@@ -2,18 +2,24 @@
 
 Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 exercised without TPU hardware (set FSEM_TEST_TPU=1 to run on real devices).
-Env vars must be set before jax is imported anywhere.
+
+The platform override must happen *in-process* (``jax.config.update``) before
+the first backend initialization: the environment may pre-register an
+accelerator plugin at interpreter startup (sitecustomize) that force-selects
+itself via ``jax_platforms``, which a plain env var cannot undo.
 """
 
 import os
 
 if not os.environ.get("FSEM_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
