@@ -1,11 +1,78 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""DNSMOS (non-intrusive SIG/BAK/OVRL MOS), TPU-native.
+
+Behavioral contract (reference: fast_se_metrics/DNSMOS.py:86-136, matching
+Microsoft's DNS-Challenge ``sig_bak_ovr.onnx`` pipeline with its segmentation
+bug fixed to exact 1 s hops):
+
+* repeat-double the utterance until it reaches 9.01 s,
+* slide 9.01 s windows at 1 s hop,
+* run the DNSMOS net on every window, apply the per-dimension polynomial
+  calibration ``c + b1*x + b2*x^2``, average over windows.
+
+TPU design: the reference loops over utterances in Python ("batching doesn't
+result in any significant speedup" on GPU — fast_se_metrics/DNSMOS.py:111);
+here all utterances' windows fold into ONE batched net invocation
+(B*S, 144160) so the conv stack sees a single large NHWC batch on the MXU.
+The repeat-pad while-loop becomes a static tile count derived from the input
+shape (power-of-two doubling, exactly like the reference's ``cat(audio,
+audio)`` loop).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
 
 from fast_speech_enhancement_metrics_tpu.base import BaseMetric
+from fast_speech_enhancement_metrics_tpu.models.dnsmos_net import (
+    DEFAULT_CHECKPOINT,
+    dnsmos_net,
+    load_params,
+)
+from fast_speech_enhancement_metrics_tpu.ops.stft import frame
+
+INPUT_LENGTH_S = 9.01
+
+#: polynomial MOS calibration (SIG, BAK, OVR) from Microsoft's DNSMOS release
+POLY_C = np.array([0.0052439, -0.39604546, 0.04602535], dtype=np.float32)
+POLY_B1 = np.array([1.22083953, 1.60915514, 1.11546468], dtype=np.float32)
+POLY_B2 = np.array([-0.08397278, -0.13166888, -0.06766283], dtype=np.float32)
 
 
 class DNSMOS(BaseMetric):
     higher_is_better = True
     EXPECTED_SAMPLING_RATE = 16000
+    NON_INTRUSIVE = True
+
+    def __init__(self, sample_rate: int = 16000, checkpoint=DEFAULT_CHECKPOINT, **kw):
+        super().__init__(sample_rate, **kw)
+        self.window = int(INPUT_LENGTH_S * self.EXPECTED_SAMPLING_RATE)  # 144160
+        self.hop = self.EXPECTED_SAMPLING_RATE
+        self.params = load_params(checkpoint, dtype=self.dtype)
+
+    def _segment(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """(B, T) -> (B, S, window): repeat-double to >= 9.01 s, then unfold."""
+        t = audio.shape[1]
+        if t < self.window:
+            # the reference doubles in a while-loop -> power-of-two tiling
+            reps = 1
+            while t * reps < self.window:
+                reps *= 2
+            audio = jnp.tile(audio, (1, reps))
+        return frame(audio, self.window, self.hop)
 
     def _compute(self, clean, denoised):
-        raise NotImplementedError("DNSMOS is not implemented yet")
+        del clean  # non-intrusive
+        batch = denoised.shape[0]
+        segments = self._segment(denoised)
+        num_segments = segments.shape[1]
+
+        raw = dnsmos_net(self.params, segments.reshape(-1, self.window))
+        raw = raw.astype(jnp.float32)
+        calibrated = (
+            jnp.asarray(POLY_C)
+            + jnp.asarray(POLY_B1) * raw
+            + jnp.asarray(POLY_B2) * jnp.square(raw)
+        )
+        scores = calibrated.reshape(batch, num_segments, 3).mean(axis=1)
+        return {"SIG": scores[:, 0], "BAK": scores[:, 1], "OVRL": scores[:, 2]}

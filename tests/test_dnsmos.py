@@ -1,0 +1,43 @@
+"""DNSMOS agreement vs float64 torch oracle (analogue of tests/reference/test_dnsmos.py)."""
+
+import numpy as np
+import pytest
+
+from fast_speech_enhancement_metrics_tpu import DNSMOS
+from tests.oracles.dnsmos_oracle import dnsmos_oracle
+
+
+@pytest.fixture(scope="module")
+def oracle_scores(speech_data):
+    return dnsmos_oracle(speech_data["noisy_speech"])
+
+
+def test_dnsmos_agreement(speech_data, oracle_scores):
+    metric = DNSMOS()
+    results = metric(None, speech_data["noisy_speech"])
+    for key in ("SIG", "BAK", "OVRL"):
+        ours = np.array([r[key] for r in results])
+        np.testing.assert_allclose(ours, oracle_scores[key], atol=5e-4, err_msg=key)
+
+
+def test_dnsmos_ignores_clean(speech_data):
+    metric = DNSMOS()
+    with_clean = metric(speech_data["speech"], speech_data["noisy_speech"])
+    without = metric(None, speech_data["noisy_speech"])
+    for a, b in zip(with_clean, without):
+        assert a == b
+
+
+def test_dnsmos_high_vs_low_snr(high_snr_speech_data, low_snr_speech_data):
+    metric = DNSMOS()
+    high = metric(None, high_snr_speech_data["noisy_speech"])
+    low = metric(None, low_snr_speech_data["noisy_speech"])
+    for key in ("BAK", "OVRL"):
+        assert np.mean([r[key] for r in high]) > np.mean([r[key] for r in low])
+
+
+def test_dnsmos_range(speech_data):
+    metric = DNSMOS()
+    for r in metric(None, speech_data["noisy_speech"]):
+        for key in ("SIG", "BAK", "OVRL"):
+            assert 1.0 <= r[key] <= 5.0
