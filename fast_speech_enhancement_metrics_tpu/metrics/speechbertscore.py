@@ -1,11 +1,104 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""SpeechBERTScore (semantic similarity via mHuBERT-147 embeddings), TPU-native.
+
+Behavioral contract (reference: fast_se_metrics/SpeechBERTScore.py:17-65,
+itself following kohei0209's DiscreteSpeechMetrics fork): layer-8 hidden
+states of mHuBERT-147 for clean and denoised audio; per pair, the cosine
+similarity matrix's row-max mean (precision), column-max mean (recall), and
+their harmonic mean (F1).
+
+TPU design: clean+denoised ride one doubled batch through the encoder (which
+runs only the 8 layers that matter — models/hubert.py); the similarity
+matrices, maxes and F1 for the whole batch are one fused einsum/reduce graph
+with a single (B,) device->host transfer (the reference loops pairs in Python
+and syncs per pair). The encoder's matmuls can shard 2-way over a ``model``
+mesh axis for tensor parallelism (see parallel/).
+
+Weights: zero-egress TPU pods can't pull from the HF hub at runtime, so the
+model loads from a converted ``.npz`` (utils/convert_hubert.py); if absent, it
+falls back to ``transformers`` + hub cache, and otherwise raises with
+conversion instructions.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax.numpy as jnp
 
 from fast_speech_enhancement_metrics_tpu.base import BaseMetric
+from fast_speech_enhancement_metrics_tpu.models.hubert import (
+    MHUBERT_147_CONFIG,
+    HubertConfig,
+    hubert_hidden_state,
+)
+
+DEFAULT_CHECKPOINT = Path(__file__).parent.parent / "checkpoints" / "mhubert147.npz"
 
 
 class SpeechBERTScore(BaseMetric):
     higher_is_better = True
     EXPECTED_SAMPLING_RATE = 16000
 
+    def __init__(
+        self,
+        sample_rate: int = 16000,
+        checkpoint: str | Path | None = None,
+        params=None,
+        config: HubertConfig = MHUBERT_147_CONFIG,
+        output_layer: int = 8,
+        precision: str | None = "highest",
+        **kw,
+    ):
+        super().__init__(sample_rate, **kw)
+        self.config = config
+        self.output_layer = output_layer
+        self.precision = precision
+        self.params = params if params is not None else self._load_params(checkpoint)
+
+    def _load_params(self, checkpoint):
+        from fast_speech_enhancement_metrics_tpu.utils.convert_hubert import (
+            MHUBERT_147,
+            convert_pretrained,
+            load_params,
+        )
+
+        path = Path(checkpoint) if checkpoint is not None else DEFAULT_CHECKPOINT
+        if path.exists():
+            return load_params(str(path), dtype=self.dtype)
+        if checkpoint is not None:
+            raise FileNotFoundError(f"HuBERT checkpoint not found: {checkpoint}")
+        try:
+            params, self.config = convert_pretrained(MHUBERT_147)
+            return params
+        except Exception as e:  # no hub cache, no network
+            raise FileNotFoundError(
+                f"No converted mHuBERT-147 checkpoint at {DEFAULT_CHECKPOINT} and "
+                f"the HF hub is unreachable ({type(e).__name__}). On a machine "
+                "with network access run: python -m fast_speech_enhancement_"
+                f"metrics_tpu.utils.convert_hubert '{MHUBERT_147}' "
+                f"'{DEFAULT_CHECKPOINT}'"
+            ) from e
+
     def _compute(self, clean, denoised):
-        raise NotImplementedError("SpeechBERTScore is not implemented yet")
+        assert clean is not None
+        batch = clean.shape[0]
+
+        speech = jnp.concatenate([clean, denoised], axis=0)
+        emb = hubert_hidden_state(
+            self.params,
+            speech,
+            self.config,
+            output_layer=self.output_layer,
+            precision=self.precision,
+        )
+        norm = jnp.linalg.norm(emb, axis=2, keepdims=True)
+        emb = emb / norm
+        clean_emb, denoised_emb = emb[:batch], emb[batch:]
+
+        sim = jnp.einsum(
+            "btd,bsd->bts", denoised_emb, clean_emb, precision=self.precision
+        )
+        precision_score = jnp.max(sim, axis=2).mean(axis=1)
+        recall = jnp.max(sim, axis=1).mean(axis=1)
+        f1 = 2.0 * precision_score * recall / (precision_score + recall)
+        return {"SpeechBERTScore": f1}

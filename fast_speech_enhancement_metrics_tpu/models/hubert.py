@@ -1,0 +1,272 @@
+"""HuBERT speech encoder as pure JAX functions, TPU-native.
+
+Architecture contract: Hugging Face ``HubertModel`` (the reference loads
+``utter-project/mHuBERT-147`` through ``AutoModel`` — reference:
+fast_se_metrics/SpeechBERTScore.py:25): a 7-layer strided conv feature
+encoder (group-norm variant), feature projection, a grouped positional conv
+(batch-norm variant for mHuBERT-147, weight-norm otherwise), and a post-LN
+transformer stack.
+
+TPU design decisions:
+
+* the conv feature extractor runs as 1-D ``lax.conv_general_dilated`` in NWC
+  layout; the positional conv's weight-norm folds into the conv weights at
+  conversion time, and its batch-norm reduces to a per-channel affine
+  pre-transform (inference-only framework — no parametrization machinery),
+* attention is one fused ``einsum`` chain over (B, H, T, D) with static
+  shapes; SpeechBERTScore only needs ``hidden_states[output_layer]`` so the
+  stack runs exactly ``output_layer`` encoder layers and stops (the reference
+  runs all 12 and discards the last 4),
+* matmul precision is configurable: ``"highest"`` for fp32 parity,
+  ``"default"`` to let the MXU run bf16 passes for speed,
+* params are a nested dict pytree — every leaf shardable via
+  ``jax.sharding`` trees for tensor-parallel serving (see parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class HubertConfig:
+    """The subset of HF ``HubertConfig`` that affects inference."""
+
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    conv_dim: tuple = (512, 512, 512, 512, 512, 512, 512)
+    conv_kernel: tuple = (10, 3, 3, 3, 3, 2, 2)
+    conv_stride: tuple = (5, 2, 2, 2, 2, 2, 2)
+    conv_bias: bool = False
+    feat_extract_norm: str = "group"  # "group" | "layer"
+    feat_proj_layer_norm: bool = True
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    do_stable_layer_norm: bool = False
+    layer_norm_eps: float = 1e-5
+
+
+#: mHuBERT-147 is HuBERT-base with a batch-norm positional conv (folded away
+#: at conversion, so the inference config is the default one)
+MHUBERT_147_CONFIG = HubertConfig()
+
+
+def _layer_norm(x, scale, bias, eps):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * lax.rsqrt(var + eps) * scale + bias
+
+
+def _conv1d(x, w, stride=1, padding="VALID", groups=1, precision=None):
+    """x: (B, T, C_in), w: (K, C_in/groups, C_out)."""
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=padding,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
+        precision=precision,
+    )
+
+
+def feature_encoder(params, audio, config: HubertConfig, precision=None):
+    """(B, T) raw audio -> (B, frames, conv_dim[-1]) conv features."""
+    x = audio[..., None]  # NWC with one channel
+    for i, layer in enumerate(params["feature_encoder"]):
+        x = _conv1d(x, layer["w"], stride=config.conv_stride[i], precision=precision)
+        if "b" in layer:
+            x = x + layer["b"]
+        if config.feat_extract_norm == "group" and i == 0:
+            # GroupNorm(groups == channels): per-channel norm over time
+            mean = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.var(x, axis=1, keepdims=True)
+            x = (x - mean) * lax.rsqrt(var + config.layer_norm_eps)
+            x = x * layer["norm_scale"] + layer["norm_bias"]
+        elif config.feat_extract_norm == "layer":
+            x = _layer_norm(x, layer["norm_scale"], layer["norm_bias"], config.layer_norm_eps)
+        x = jax.nn.gelu(x, approximate=False)
+    return x
+
+
+def _attention(p, x, num_heads, precision):
+    b, t, d = x.shape
+    head_dim = d // num_heads
+    scaling = head_dim**-0.5
+
+    def split(h):
+        return h.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q = split(x @ p["q_w"] + p["q_b"]) * scaling
+    k = split(x @ p["k_w"] + p["k_b"])
+    v = split(x @ p["v_w"] + p["v_b"])
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision)
+    weights = jax.nn.softmax(logits, axis=-1)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v, precision=precision)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return ctx @ p["o_w"] + p["o_b"]
+
+
+def _encoder_layer(p, x, config: HubertConfig, precision):
+    eps = config.layer_norm_eps
+    if config.do_stable_layer_norm:
+        x = x + _attention(
+            p, _layer_norm(x, p["ln1_s"], p["ln1_b"], eps), config.num_attention_heads, precision
+        )
+        h = _layer_norm(x, p["ln2_s"], p["ln2_b"], eps)
+        h = jax.nn.gelu(h @ p["ff_w1"] + p["ff_b1"], approximate=False)
+        return x + (h @ p["ff_w2"] + p["ff_b2"])
+    # post-LN (HuBERT-base / mHuBERT-147)
+    x = _layer_norm(
+        x + _attention(p, x, config.num_attention_heads, precision),
+        p["ln1_s"],
+        p["ln1_b"],
+        eps,
+    )
+    h = jax.nn.gelu(x @ p["ff_w1"] + p["ff_b1"], approximate=False)
+    return _layer_norm(x + (h @ p["ff_w2"] + p["ff_b2"]), p["ln2_s"], p["ln2_b"], eps)
+
+
+def hubert_hidden_state(
+    params,
+    audio: jnp.ndarray,
+    config: HubertConfig = MHUBERT_147_CONFIG,
+    output_layer: int = 8,
+    precision: str | None = "highest",
+) -> jnp.ndarray:
+    """(B, T) audio -> (B, frames, hidden) == HF ``hidden_states[output_layer]``.
+
+    ``hidden_states[L]`` is the input to encoder layer L, i.e. the output of
+    the first L encoder layers — only those L layers are executed.
+    """
+    x = feature_encoder(params, audio, config, precision)
+
+    fp = params["feature_projection"]
+    if config.feat_proj_layer_norm:
+        x = _layer_norm(x, fp["ln_s"], fp["ln_b"], config.layer_norm_eps)
+    x = jnp.einsum("btc,cd->btd", x, fp["w"], precision=precision) + fp["b"]
+
+    pos_in = x
+    if "bn_scale" in params["pos_conv"]:
+        pos_in = x * params["pos_conv"]["bn_scale"] + params["pos_conv"]["bn_shift"]
+    pos = _conv1d(
+        pos_in,
+        params["pos_conv"]["w"],
+        padding=[(config.num_conv_pos_embeddings // 2,) * 2],
+        groups=config.num_conv_pos_embedding_groups,
+        precision=precision,
+    )
+    if config.num_conv_pos_embeddings % 2 == 0:
+        pos = pos[:, :-1, :]
+    pos = jax.nn.gelu(pos + params["pos_conv"]["b"], approximate=False)
+    x = x + pos
+
+    if not config.do_stable_layer_norm:
+        enc = params["encoder_ln"]
+        x = _layer_norm(x, enc["s"], enc["b"], config.layer_norm_eps)
+
+    for p in params["layers"][:output_layer]:
+        x = _encoder_layer(p, x, config, precision)
+    return x
+
+
+# -- HF checkpoint conversion -------------------------------------------------
+
+
+def convert_hf_hubert(state_dict, config: HubertConfig = MHUBERT_147_CONFIG):
+    """Map an HF ``HubertModel`` state dict to the JAX parameter pytree.
+
+    Handles all three positional-conv parametrizations (plain, weight-norm
+    old/new naming, batch-norm) by folding them into a single conv weight —
+    float64 host math, inference-only.
+    """
+
+    def g(key):
+        return np.asarray(state_dict[key].detach().cpu().numpy(), dtype=np.float64)
+
+    params: dict = {"feature_encoder": []}
+    for i in range(len(config.conv_dim)):
+        prefix = f"feature_extractor.conv_layers.{i}"
+        layer = {"w": g(f"{prefix}.conv.weight").transpose(2, 1, 0)}  # OIK -> KIO
+        if config.conv_bias:
+            layer["b"] = g(f"{prefix}.conv.bias")
+        if f"{prefix}.layer_norm.weight" in state_dict:
+            layer["norm_scale"] = g(f"{prefix}.layer_norm.weight")
+            layer["norm_bias"] = g(f"{prefix}.layer_norm.bias")
+        params["feature_encoder"].append(layer)
+
+    params["feature_projection"] = {
+        "w": g("feature_projection.projection.weight").T,
+        "b": g("feature_projection.projection.bias"),
+    }
+    if config.feat_proj_layer_norm:
+        params["feature_projection"]["ln_s"] = g("feature_projection.layer_norm.weight")
+        params["feature_projection"]["ln_b"] = g("feature_projection.layer_norm.bias")
+
+    # positional conv: fold parametrizations into one (K, C/groups, C) weight
+    pc = "encoder.pos_conv_embed"
+    if f"{pc}.conv.weight_g" in state_dict or f"{pc}.conv.parametrizations.weight.original0" in state_dict:
+        if f"{pc}.conv.weight_g" in state_dict:
+            g_w, v_w = g(f"{pc}.conv.weight_g"), g(f"{pc}.conv.weight_v")
+        else:
+            g_w = g(f"{pc}.conv.parametrizations.weight.original0")
+            v_w = g(f"{pc}.conv.parametrizations.weight.original1")
+        # torch weight_norm dim=2 on (O, I/g, K): per-k norm over (O, I/g)
+        norm = np.sqrt((v_w**2).sum(axis=(0, 1), keepdims=True))
+        weight = g_w * v_w / norm
+    else:
+        weight = g(f"{pc}.conv.weight")
+    pos_w = weight.transpose(2, 1, 0)  # (O, I/g, K) -> (K, I/g, O)
+    pos_b = g(f"{pc}.conv.bias")
+    params["pos_conv"] = {"w": pos_w, "b": pos_b}
+    if f"{pc}.batch_norm.running_mean" in state_dict:
+        # eval-mode BN on the conv *input* reduces to a per-channel affine
+        # x' = x*s + t. It cannot fold into the conv weights because the conv
+        # zero-pads the BN *output* at the sequence boundary, so keep it as
+        # an (elementwise, negligible) pre-transform at runtime.
+        mean = g(f"{pc}.batch_norm.running_mean")
+        var = g(f"{pc}.batch_norm.running_var")
+        gamma = g(f"{pc}.batch_norm.weight")
+        beta = g(f"{pc}.batch_norm.bias")
+        s = gamma / np.sqrt(var + 1e-5)
+        params["pos_conv"]["bn_scale"] = s
+        params["pos_conv"]["bn_shift"] = beta - mean * s
+
+    params["encoder_ln"] = {
+        "s": g("encoder.layer_norm.weight"),
+        "b": g("encoder.layer_norm.bias"),
+    }
+
+    params["layers"] = []
+    for i in range(config.num_hidden_layers):
+        prefix = f"encoder.layers.{i}"
+        params["layers"].append(
+            {
+                "q_w": g(f"{prefix}.attention.q_proj.weight").T,
+                "q_b": g(f"{prefix}.attention.q_proj.bias"),
+                "k_w": g(f"{prefix}.attention.k_proj.weight").T,
+                "k_b": g(f"{prefix}.attention.k_proj.bias"),
+                "v_w": g(f"{prefix}.attention.v_proj.weight").T,
+                "v_b": g(f"{prefix}.attention.v_proj.bias"),
+                "o_w": g(f"{prefix}.attention.out_proj.weight").T,
+                "o_b": g(f"{prefix}.attention.out_proj.bias"),
+                "ln1_s": g(f"{prefix}.layer_norm.weight"),
+                "ln1_b": g(f"{prefix}.layer_norm.bias"),
+                "ff_w1": g(f"{prefix}.feed_forward.intermediate_dense.weight").T,
+                "ff_b1": g(f"{prefix}.feed_forward.intermediate_dense.bias"),
+                "ff_w2": g(f"{prefix}.feed_forward.output_dense.weight").T,
+                "ff_b2": g(f"{prefix}.feed_forward.output_dense.bias"),
+                "ln2_s": g(f"{prefix}.final_layer_norm.weight"),
+                "ln2_b": g(f"{prefix}.final_layer_norm.bias"),
+            }
+        )
+
+    return jax.tree.map(lambda a: jnp.asarray(a, dtype=jnp.float32), params)

@@ -1,0 +1,137 @@
+"""HuBERT architecture parity vs HF ``transformers`` + SpeechBERTScore math.
+
+The real mHuBERT-147 weights cannot be downloaded in a zero-egress
+environment, so parity is proven structurally: random-initialized HF
+``HubertModel``s (both positional-conv parametrizations) are converted through
+``convert_hf_hubert`` and must reproduce ``hidden_states[L]`` to fp32
+tolerance. The F1 aggregation is checked against a float64 NumPy oracle.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from fast_speech_enhancement_metrics_tpu import SpeechBERTScore
+from fast_speech_enhancement_metrics_tpu.models.hubert import (
+    HubertConfig,
+    convert_hf_hubert,
+    hubert_hidden_state,
+)
+
+SMALL = dict(
+    hidden_size=64,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    intermediate_size=96,
+    conv_dim=(32, 32, 32),
+    conv_kernel=(10, 3, 3),
+    conv_stride=(5, 2, 2),
+    num_conv_pos_embeddings=16,
+    num_conv_pos_embedding_groups=4,
+)
+
+
+def _hf_model(**overrides):
+    from transformers import HubertConfig as HFConfig
+    from transformers import HubertModel
+
+    torch.manual_seed(0)
+    cfg = HFConfig(**{**SMALL, **overrides})
+    model = HubertModel(cfg)
+    model.eval()
+    return model, cfg
+
+
+def _our_config(cfg) -> HubertConfig:
+    from fast_speech_enhancement_metrics_tpu.utils.convert_hubert import config_from_hf
+
+    return config_from_hf(cfg)
+
+
+@pytest.mark.parametrize("layer", [0, 2, 3])
+def test_hubert_parity_weight_norm(layer):
+    model, cfg = _hf_model()
+    audio = np.random.RandomState(1).randn(2, 8000).astype(np.float32)
+
+    with torch.no_grad():
+        expected = (
+            model(torch.tensor(audio), output_hidden_states=True)
+            .hidden_states[layer]
+            .numpy()
+        )
+
+    params = convert_hf_hubert(model.state_dict(), _our_config(cfg))
+    ours = np.asarray(
+        hubert_hidden_state(params, audio, _our_config(cfg), output_layer=layer)
+    )
+    np.testing.assert_allclose(ours, expected, atol=2e-4)
+
+
+def test_hubert_parity_batch_norm_pos_conv():
+    model, cfg = _hf_model(conv_pos_batch_norm=True)
+    # give the BN non-trivial running statistics so folding is exercised
+    bn = model.encoder.pos_conv_embed.batch_norm
+    gen = torch.Generator().manual_seed(3)
+    bn.running_mean.copy_(torch.randn(bn.running_mean.shape, generator=gen) * 0.3)
+    bn.running_var.copy_(torch.rand(bn.running_var.shape, generator=gen) + 0.5)
+
+    audio = np.random.RandomState(2).randn(2, 8000).astype(np.float32)
+    with torch.no_grad():
+        expected = (
+            model(torch.tensor(audio), output_hidden_states=True)
+            .hidden_states[3]
+            .numpy()
+        )
+    params = convert_hf_hubert(model.state_dict(), _our_config(cfg))
+    ours = np.asarray(
+        hubert_hidden_state(params, audio, _our_config(cfg), output_layer=3)
+    )
+    np.testing.assert_allclose(ours, expected, atol=2e-4)
+
+
+def _f1_oracle(clean_emb, denoised_emb):
+    out = []
+    for c, d in zip(clean_emb.astype(np.float64), denoised_emb.astype(np.float64)):
+        sim = (d @ c.T) / (
+            np.linalg.norm(d, axis=1, keepdims=True) * np.linalg.norm(c, axis=1)
+        )
+        precision = sim.max(axis=1).mean()
+        recall = sim.max(axis=0).mean()
+        out.append(2 * precision * recall / (precision + recall))
+    return np.array(out)
+
+
+def test_speechbertscore_metric(speech_data):
+    model, cfg = _hf_model()
+    params = convert_hf_hubert(model.state_dict(), _our_config(cfg))
+    metric = SpeechBERTScore(
+        params=params, config=_our_config(cfg), output_layer=3
+    )
+    results = metric(speech_data["speech"], speech_data["noisy_speech"])
+    ours = np.array([r["SpeechBERTScore"] for r in results])
+
+    with torch.no_grad():
+        ce = (
+            model(torch.tensor(speech_data["speech"]), output_hidden_states=True)
+            .hidden_states[3]
+            .numpy()
+        )
+        de = (
+            model(
+                torch.tensor(speech_data["noisy_speech"]), output_hidden_states=True
+            )
+            .hidden_states[3]
+            .numpy()
+        )
+    expected = _f1_oracle(ce, de)
+    np.testing.assert_allclose(ours, expected, atol=1e-4)
+    assert np.all(ours <= 1.0)
+
+
+def test_speechbertscore_identical_is_one(speech_data):
+    model, cfg = _hf_model()
+    params = convert_hf_hubert(model.state_dict(), _our_config(cfg))
+    metric = SpeechBERTScore(params=params, config=_our_config(cfg), output_layer=3)
+    results = metric(speech_data["speech"], speech_data["speech"])
+    for r in results:
+        assert r["SpeechBERTScore"] == pytest.approx(1.0, abs=1e-5)
