@@ -44,11 +44,31 @@ class DNSMOS(BaseMetric):
     EXPECTED_SAMPLING_RATE = 16000
     NON_INTRUSIVE = True
 
-    def __init__(self, sample_rate: int = 16000, checkpoint=DEFAULT_CHECKPOINT, **kw):
+    def __init__(
+        self,
+        sample_rate: int = 16000,
+        checkpoint=DEFAULT_CHECKPOINT,
+        segment_chunk: int | None = None,
+        precision: str | None = "highest",
+        **kw,
+    ):
         super().__init__(sample_rate, **kw)
         self.window = int(INPUT_LENGTH_S * self.EXPECTED_SAMPLING_RATE)  # 144160
         self.hop = self.EXPECTED_SAMPLING_RATE
+        #: conv activations are ~0.5 GB per window at fp32; chunking the
+        #: (B*S) window axis caps peak HBM for large batches
+        self.segment_chunk = segment_chunk
+        self.precision = precision
         self.params = load_params(checkpoint, dtype=self.dtype)
+        if self.mesh is not None:  # tiny net: replicate across the mesh
+            import jax
+
+            from fast_speech_enhancement_metrics_tpu.parallel.sharding import replicated
+
+            sharding = replicated(self.mesh)
+            self.params = jax.tree.map(
+                lambda a: jax.device_put(a, sharding), self.params
+            )
 
     def _segment(self, audio: jnp.ndarray) -> jnp.ndarray:
         """(B, T) -> (B, S, window): repeat-double to >= 9.01 s, then unfold."""
@@ -67,7 +87,21 @@ class DNSMOS(BaseMetric):
         segments = self._segment(denoised)
         num_segments = segments.shape[1]
 
-        raw = dnsmos_net(self.params, segments.reshape(-1, self.window))
+        windows = segments.reshape(-1, self.window)
+        n = windows.shape[0]
+        chunk = self.segment_chunk
+        if chunk is not None and n > chunk:
+            import jax
+
+            pad = (-n) % chunk
+            if pad:
+                windows = jnp.concatenate([windows, windows[:pad]], axis=0)
+            raw = jax.lax.map(
+                lambda w: dnsmos_net(self.params, w, self.precision),
+                windows.reshape(-1, chunk, self.window),
+            ).reshape(-1, 3)[:n]
+        else:
+            raw = dnsmos_net(self.params, windows, self.precision)
         raw = raw.astype(jnp.float32)
         calibrated = (
             jnp.asarray(POLY_C)

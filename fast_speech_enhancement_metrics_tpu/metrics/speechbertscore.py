@@ -47,13 +47,23 @@ class SpeechBERTScore(BaseMetric):
         config: HubertConfig = MHUBERT_147_CONFIG,
         output_layer: int = 8,
         precision: str | None = "highest",
+        batch_chunk: int | None = None,
         **kw,
     ):
         super().__init__(sample_rate, **kw)
         self.config = config
         self.output_layer = output_layer
         self.precision = precision
+        #: attention logits are (b, 12, T, T) — chunking the utterance axis
+        #: caps peak HBM for long-audio/large-batch workloads
+        self.batch_chunk = batch_chunk
         self.params = params if params is not None else self._load_params(checkpoint)
+        if self.mesh is not None:  # Megatron-style TP over the 'model' axis
+            from fast_speech_enhancement_metrics_tpu.parallel.sharding import (
+                shard_params,
+            )
+
+            self.params = shard_params(self.params, self.mesh, self.config)
 
     def _load_params(self, checkpoint):
         from fast_speech_enhancement_metrics_tpu.utils.convert_hubert import (
@@ -84,13 +94,30 @@ class SpeechBERTScore(BaseMetric):
         batch = clean.shape[0]
 
         speech = jnp.concatenate([clean, denoised], axis=0)
-        emb = hubert_hidden_state(
-            self.params,
-            speech,
-            self.config,
-            output_layer=self.output_layer,
-            precision=self.precision,
-        )
+
+        def encode(audio):
+            return hubert_hidden_state(
+                self.params,
+                audio,
+                self.config,
+                output_layer=self.output_layer,
+                precision=self.precision,
+            )
+
+        chunk = self.batch_chunk
+        if chunk is not None and speech.shape[0] > chunk:
+            import jax
+
+            n = speech.shape[0]
+            pad = (-n) % chunk
+            if pad:
+                speech = jnp.concatenate([speech, speech[:pad]], axis=0)
+            emb = jax.lax.map(
+                encode, speech.reshape(-1, chunk, speech.shape[1])
+            )
+            emb = emb.reshape(-1, emb.shape[2], emb.shape[3])[:n]
+        else:
+            emb = encode(speech)
         norm = jnp.linalg.norm(emb, axis=2, keepdims=True)
         emb = emb / norm
         clean_emb, denoised_emb = emb[:batch], emb[batch:]

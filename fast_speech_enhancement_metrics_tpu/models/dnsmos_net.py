@@ -59,7 +59,9 @@ def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def dnsmos_net(params: dict, audio: jnp.ndarray) -> jnp.ndarray:
+def dnsmos_net(
+    params: dict, audio: jnp.ndarray, precision=lax.Precision.HIGHEST
+) -> jnp.ndarray:
     """(N, 144160) audio windows at 16 kHz -> (N, 3) raw SIG/BAK/OVR."""
     frames = frame(audio, 320, 160)  # (N, F, 320)
 
@@ -82,7 +84,7 @@ def dnsmos_net(params: dict, audio: jnp.ndarray) -> jnp.ndarray:
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             # TPU MXU default truncates conv inputs to bf16 (~1e-2 activation
             # error after 7 layers); HIGHEST keeps fp32-equivalent accuracy
-            precision=lax.Precision.HIGHEST,
+            precision=precision,
         )
         x = jnp.maximum(x + params[f"conv{n}_b"], 0.0)
         if n in POOL_AFTER:

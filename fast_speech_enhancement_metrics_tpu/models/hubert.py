@@ -178,6 +178,71 @@ def hubert_hidden_state(
     return x
 
 
+def init_params(
+    rng: jax.Array, config: HubertConfig = MHUBERT_147_CONFIG, dtype=jnp.float32
+):
+    """Random-initialized parameter pytree (for dry-runs / sharding tests /
+    architecture benchmarks where real weights aren't needed)."""
+    counter = [0]
+
+    def nxt(*shape, scale=0.02):
+        counter[0] += 1
+        key = jax.random.fold_in(rng, counter[0])
+        return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+    def zeros(*shape):
+        return jnp.zeros(shape, dtype)
+
+    def ones(*shape):
+        return jnp.ones(shape, dtype)
+
+    d = config.hidden_size
+    params: dict = {"feature_encoder": []}
+    for i, out_c in enumerate(config.conv_dim):
+        in_c = 1 if i == 0 else config.conv_dim[i - 1]
+        layer = {"w": nxt(config.conv_kernel[i], in_c, out_c, scale=0.1)}
+        if config.conv_bias:
+            layer["b"] = zeros(out_c)
+        if (config.feat_extract_norm == "group" and i == 0) or (
+            config.feat_extract_norm == "layer"
+        ):
+            layer["norm_scale"] = ones(out_c)
+            layer["norm_bias"] = zeros(out_c)
+        params["feature_encoder"].append(layer)
+
+    params["feature_projection"] = {
+        "w": nxt(config.conv_dim[-1], d),
+        "b": zeros(d),
+    }
+    if config.feat_proj_layer_norm:
+        params["feature_projection"]["ln_s"] = ones(config.conv_dim[-1])
+        params["feature_projection"]["ln_b"] = zeros(config.conv_dim[-1])
+
+    groups = config.num_conv_pos_embedding_groups
+    params["pos_conv"] = {
+        "w": nxt(config.num_conv_pos_embeddings, d // groups, d),
+        "b": zeros(d),
+    }
+    params["encoder_ln"] = {"s": ones(d), "b": zeros(d)}
+
+    params["layers"] = [
+        {
+            "q_w": nxt(d, d), "q_b": zeros(d),
+            "k_w": nxt(d, d), "k_b": zeros(d),
+            "v_w": nxt(d, d), "v_b": zeros(d),
+            "o_w": nxt(d, d), "o_b": zeros(d),
+            "ln1_s": ones(d), "ln1_b": zeros(d),
+            "ff_w1": nxt(d, config.intermediate_size),
+            "ff_b1": zeros(config.intermediate_size),
+            "ff_w2": nxt(config.intermediate_size, d),
+            "ff_b2": zeros(d),
+            "ln2_s": ones(d), "ln2_b": zeros(d),
+        }
+        for _ in range(config.num_hidden_layers)
+    ]
+    return params
+
+
 # -- HF checkpoint conversion -------------------------------------------------
 
 
