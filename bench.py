@@ -6,8 +6,8 @@ device before timing, warmup discarded) but measures honestly with
 ``block_until_ready`` and reports **audio-seconds per second per chip**.
 
 Prints ONE JSON line: the geometric-mean speedup over the reference's
-published GPU numbers (BASELINE.md — read off plots/samples_per_second.png).
-Per-metric details go to ``results/bench_details.json``.
+published GPU numbers (BASELINE.md). Per-metric details stream as ``#``
+comment lines and land in ``results/bench_details.json``.
 
 Env knobs:
   FSEM_BENCH_BATCH (default 64)   FSEM_BENCH_DUR (default 16)
@@ -18,109 +18,28 @@ from __future__ import annotations
 
 import json
 import os
-import time
 from pathlib import Path
 
+import jax
 import numpy as np
+
+# persistent compilation cache: the model metrics' conv/attention graphs
+# compile slowly through remote-compile tunnels; cache across runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/fsem_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from fast_speech_enhancement_metrics_tpu.benchmarking.runner import (  # noqa: E402
+    bench_one,
+    make_metrics,
+)
 
 BATCH = int(os.environ.get("FSEM_BENCH_BATCH", 64))
 DURATION_S = int(os.environ.get("FSEM_BENCH_DUR", 16))
 SAMPLE_RATE = 16000
 TIME_BUDGET_S = float(os.environ.get("FSEM_BENCH_SECONDS", 10))
-
-#: reference "ours GPU" throughput at batch 64 in audio-seconds/s
-#: (samples/s read off plots/samples_per_second.png x 16 s — BASELINE.md)
-REFERENCE_GPU_AUDIO_S = {
-    "PESQ": 6_400.0,
-    "STOI": 21_600.0,
-    "SDR": 104_000.0,
-    "LSD": 208_000.0,
-    "DNSMOS": 4_160.0,
-    "SpeechBERTScore": 2_720.0,
-}
-
-
-def make_metrics():
-    from fast_speech_enhancement_metrics_tpu import (
-        DNSMOS,
-        LSD,
-        PESQ,
-        SDR,
-        STOI,
-        SpeechBERTScore,
-    )
-
-    metrics = {
-        "PESQ": lambda: PESQ(),
-        "STOI": lambda: STOI(sample_rate=SAMPLE_RATE),
-        "SDR": lambda: SDR(),
-        "LSD": lambda: LSD(),
-        "DNSMOS": lambda: DNSMOS(segment_chunk=16),
-    }
-
-    def make_sbs():
-        from fast_speech_enhancement_metrics_tpu.metrics.speechbertscore import (
-            DEFAULT_CHECKPOINT,
-        )
-
-        if Path(DEFAULT_CHECKPOINT).exists():
-            return SpeechBERTScore(batch_chunk=16)
-        # zero-egress: real mHuBERT-147 weights unavailable -> random weights
-        # of the identical architecture (same FLOPs, same memory traffic)
-        import jax
-
-        from fast_speech_enhancement_metrics_tpu.models.hubert import (
-            MHUBERT_147_CONFIG,
-            init_params,
-        )
-
-        return SpeechBERTScore(
-            params=init_params(jax.random.key(0), MHUBERT_147_CONFIG),
-            batch_chunk=16,
-        )
-
-    metrics["SpeechBERTScore"] = make_sbs
-    return metrics
-
-
-def bench_one(name: str, metric, clean, noisy) -> dict:
-    import jax
-
-    prepared_clean, prepared_noisy = metric.prepare_inputs(
-        None if metric.NON_INTRUSIVE else clean, noisy
-    )
-
-    def run():
-        scores = metric._jitted(prepared_clean, prepared_noisy)
-        jax.block_until_ready(scores)
-        return scores
-
-    t0 = time.time()
-    run()
-    compile_s = time.time() - t0
-
-    # warmup + calibrate iteration count to the time budget
-    t0 = time.time()
-    run()
-    per_call = max(time.time() - t0, 1e-4)
-    iters = max(3, int(TIME_BUDGET_S / per_call))
-
-    t0 = time.time()
-    for _ in range(iters):
-        run()
-    elapsed = time.time() - t0
-
-    audio_seconds = BATCH * DURATION_S
-    throughput = audio_seconds * iters / elapsed
-    return {
-        "metric": name,
-        "audio_seconds_per_s": throughput,
-        "samples_per_s": throughput / DURATION_S,
-        "iters": iters,
-        "compile_s": round(compile_s, 2),
-        "ref_gpu_audio_seconds_per_s": REFERENCE_GPU_AUDIO_S[name],
-        "speedup_vs_ref_gpu": throughput / REFERENCE_GPU_AUDIO_S[name],
-    }
 
 
 def main() -> None:
@@ -129,7 +48,7 @@ def main() -> None:
     clean, noisy, _ = load_audio_data(DURATION_S, BATCH, SAMPLE_RATE)
 
     selected = os.environ.get("FSEM_BENCH_METRICS")
-    factories = make_metrics()
+    factories = make_metrics(SAMPLE_RATE)
     if selected:
         factories = {k: factories[k] for k in selected.split(",")}
 
@@ -138,7 +57,7 @@ def main() -> None:
         metric = None
         try:
             metric = factory()
-            result = bench_one(name, metric, clean, noisy)
+            result = bench_one(name, metric, clean, noisy, DURATION_S, TIME_BUDGET_S)
         except Exception as e:  # keep the suite going; report the failure
             result = {"metric": name, "error": f"{type(e).__name__}: {e}"}
         details.append(result)

@@ -1,0 +1,102 @@
+"""Unit tests for the ops substrate: framing, STFT, resampling, FFT-IIR."""
+
+import numpy as np
+import pytest
+from scipy.signal import butter, lfilter
+
+from fast_speech_enhancement_metrics_tpu.ops import iir, resample, stft
+from tests.oracles import dsp
+
+
+def test_frame_matches_strided():
+    x = np.random.RandomState(0).randn(3, 1000).astype(np.float32)
+    for frame_length, hop in [(256, 128), (512, 256), (320, 160), (100, 33)]:
+        ours = np.asarray(stft.frame(x, frame_length, hop))
+        expected = dsp.frame(x, frame_length, hop)
+        np.testing.assert_allclose(ours, expected, rtol=0, atol=0)
+
+
+def test_frame_gapped():
+    x = np.random.RandomState(1).randn(2, 500).astype(np.float32)
+    ours = np.asarray(stft.frame(x, 10, 30))
+    expected = dsp.frame(x, 10, 30)
+    np.testing.assert_allclose(ours, expected, rtol=0, atol=0)
+
+
+def test_hann_window_torch_semantics():
+    import torch
+
+    for n in (256, 512, 320):
+        np.testing.assert_allclose(
+            stft.hann_window(n), torch.hann_window(n).numpy(), atol=3e-7
+        )
+        np.testing.assert_allclose(
+            stft.hann_window(n, periodic=False),
+            torch.hann_window(n, periodic=False).numpy(),
+            atol=3e-7,
+        )
+
+
+def test_stft_matches_torch():
+    import torch
+
+    x = np.random.RandomState(2).randn(2, 4096).astype(np.float32)
+    for center in (False, True):
+        ours = np.asarray(stft.stft(x, 512, 128, center=center))
+        expected = torch.stft(
+            torch.tensor(x),
+            n_fft=512,
+            hop_length=128,
+            window=torch.hann_window(512),
+            center=center,
+            pad_mode="constant",
+            return_complex=True,
+        ).numpy()
+        # torch layout (B, freq, frames) -> ours (B, frames, freq)
+        np.testing.assert_allclose(
+            ours, expected.transpose(0, 2, 1), atol=1e-3
+        )
+
+
+def test_resample_matches_torchaudio_algorithm():
+    x = np.random.RandomState(3).randn(2, 16000).astype(np.float32)
+    ours = np.asarray(resample.resample(x, 16000, 10000))
+    expected = dsp.sinc_resample(x.astype(np.float64), 16000, 10000)
+    assert ours.shape == expected.shape
+    np.testing.assert_allclose(ours, expected, atol=1e-5)
+
+
+def test_resample_identity():
+    x = np.random.RandomState(4).randn(2, 1000).astype(np.float32)
+    assert resample.resample(x, 16000, 16000) is x
+
+
+@pytest.mark.parametrize(
+    "b,a",
+    [
+        ((2.740826, -5.4816519, 2.740826), (1.0, -1.9444777, 0.94597794)),
+        butter(5, [325, 3250], fs=16000, btype="band"),
+    ],
+)
+def test_lfilter_fft_matches_scipy(b, a):
+    x = np.random.RandomState(5).randn(2, 32000).astype(np.float32)
+    ours = np.asarray(iir.lfilter_fft(x, tuple(np.atleast_1d(b)), tuple(np.atleast_1d(a))))
+    expected = lfilter(np.asarray(b, dtype=np.float64), np.asarray(a, dtype=np.float64), x.astype(np.float64), axis=-1)
+    np.testing.assert_allclose(ours, expected, atol=2e-4)
+
+
+def test_toeplitz_solve():
+    from fast_speech_enhancement_metrics_tpu.ops.toeplitz import symmetric_toeplitz_solve
+
+    rng = np.random.RandomState(6)
+    n = 64
+    # well-conditioned symmetric positive-definite Toeplitz first rows
+    r0 = np.zeros((4, n), dtype=np.float32)
+    r0[:, 0] = 10.0
+    r0[:, 1:] = rng.randn(4, n - 1) * 0.1
+    b = rng.randn(4, n).astype(np.float32)
+    sol = np.asarray(symmetric_toeplitz_solve(r0, b))
+    idx = np.abs(np.arange(n)[None, :] - np.arange(n)[:, None])
+    for i in range(4):
+        expected = np.linalg.solve(r0[i][idx].astype(np.float64), b[i].astype(np.float64))
+        np.testing.assert_allclose(sol[i], expected, atol=1e-3)
