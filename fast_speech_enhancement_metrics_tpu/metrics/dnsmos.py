@@ -9,6 +9,11 @@ bug fixed to exact 1 s hops):
 * run the DNSMOS net on every window, apply the per-dimension polynomial
   calibration ``c + b1*x + b2*x^2``, average over windows.
 
+Precision: the reference runs this net under fp16 autocast (its published
+GPU deviation is 6e-3 — fast_se_metrics/DNSMOS.py:120); ``precision=
+"default"`` is the TPU analogue (bf16 MXU passes, ~8e-3 score deviation,
+~4x faster). Pass ``precision="highest"`` for fp32-exact scores (~3e-4).
+
 TPU design: the reference loops over utterances in Python ("batching doesn't
 result in any significant speedup" on GPU — fast_se_metrics/DNSMOS.py:111);
 here all utterances' windows fold into ONE batched net invocation
@@ -49,7 +54,7 @@ class DNSMOS(BaseMetric):
         sample_rate: int = 16000,
         checkpoint=DEFAULT_CHECKPOINT,
         segment_chunk: int | None = None,
-        precision: str | None = "highest",
+        precision: str | None = "default",
         **kw,
     ):
         super().__init__(sample_rate, **kw)

@@ -92,6 +92,14 @@ def dnsmos_net(
 
     pooled = jnp.max(x, axis=(1, 2))  # global max over (time, freq) -> (N, 64)
 
-    h = jnp.maximum(pooled @ params["dense0_w"] + params["dense0_b"], 0.0)
-    h = jnp.maximum(h @ params["dense1_w"] + params["dense1_b"], 0.0)
-    return h @ params["dense2_w"] + params["dense2_b"]
+    # the MLP's error lands directly on the scores and its FLOPs are
+    # negligible — always run it at fp32-equivalent precision
+    def dense(h, n):
+        return (
+            jnp.matmul(h, params[f"dense{n}_w"], precision=lax.Precision.HIGHEST)
+            + params[f"dense{n}_b"]
+        )
+
+    h = jnp.maximum(dense(pooled, 0), 0.0)
+    h = jnp.maximum(dense(h, 1), 0.0)
+    return dense(h, 2)

@@ -96,6 +96,10 @@ def feature_encoder(params, audio, config: HubertConfig, precision=None):
     return x
 
 
+def _matmul(x, w, precision):
+    return jnp.matmul(x, w, precision=precision)
+
+
 def _attention(p, x, num_heads, precision):
     b, t, d = x.shape
     head_dim = d // num_heads
@@ -104,15 +108,15 @@ def _attention(p, x, num_heads, precision):
     def split(h):
         return h.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
 
-    q = split(x @ p["q_w"] + p["q_b"]) * scaling
-    k = split(x @ p["k_w"] + p["k_b"])
-    v = split(x @ p["v_w"] + p["v_b"])
+    q = split(_matmul(x, p["q_w"], precision) + p["q_b"]) * scaling
+    k = split(_matmul(x, p["k_w"], precision) + p["k_b"])
+    v = split(_matmul(x, p["v_w"], precision) + p["v_b"])
 
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision)
     weights = jax.nn.softmax(logits, axis=-1)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v, precision=precision)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
-    return ctx @ p["o_w"] + p["o_b"]
+    return _matmul(ctx, p["o_w"], precision) + p["o_b"]
 
 
 def _encoder_layer(p, x, config: HubertConfig, precision):
@@ -122,8 +126,8 @@ def _encoder_layer(p, x, config: HubertConfig, precision):
             p, _layer_norm(x, p["ln1_s"], p["ln1_b"], eps), config.num_attention_heads, precision
         )
         h = _layer_norm(x, p["ln2_s"], p["ln2_b"], eps)
-        h = jax.nn.gelu(h @ p["ff_w1"] + p["ff_b1"], approximate=False)
-        return x + (h @ p["ff_w2"] + p["ff_b2"])
+        h = jax.nn.gelu(_matmul(h, p["ff_w1"], precision) + p["ff_b1"], approximate=False)
+        return x + (_matmul(h, p["ff_w2"], precision) + p["ff_b2"])
     # post-LN (HuBERT-base / mHuBERT-147)
     x = _layer_norm(
         x + _attention(p, x, config.num_attention_heads, precision),
@@ -131,8 +135,10 @@ def _encoder_layer(p, x, config: HubertConfig, precision):
         p["ln1_b"],
         eps,
     )
-    h = jax.nn.gelu(x @ p["ff_w1"] + p["ff_b1"], approximate=False)
-    return _layer_norm(x + (h @ p["ff_w2"] + p["ff_b2"]), p["ln2_s"], p["ln2_b"], eps)
+    h = jax.nn.gelu(_matmul(x, p["ff_w1"], precision) + p["ff_b1"], approximate=False)
+    return _layer_norm(
+        x + (_matmul(h, p["ff_w2"], precision) + p["ff_b2"]), p["ln2_s"], p["ln2_b"], eps
+    )
 
 
 def hubert_hidden_state(
