@@ -9,6 +9,7 @@ numbers, and reported in audio-seconds/s/chip.
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 
@@ -100,6 +101,12 @@ def bench_one(
     for _ in range(iters):
         run()
     elapsed = time.time() - t0
+
+    profile_dir = os.environ.get("FSEM_BENCH_PROFILE")
+    if profile_dir:  # capture an XLA trace of a few steady-state steps
+        with jax.profiler.trace(f"{profile_dir}/{name}"):
+            for _ in range(min(iters, 3)):
+                run()
 
     audio_seconds = batch * duration_s
     throughput = audio_seconds * iters / elapsed

@@ -48,6 +48,7 @@ class SpeechBERTScore(BaseMetric):
         output_layer: int = 8,
         precision: str | None = "highest",
         batch_chunk: int | None = None,
+        attention_impl: str = "auto",
         **kw,
     ):
         super().__init__(sample_rate, **kw)
@@ -57,6 +58,16 @@ class SpeechBERTScore(BaseMetric):
         #: attention logits are (b, 12, T, T) — chunking the utterance axis
         #: caps peak HBM for long-audio/large-batch workloads
         self.batch_chunk = batch_chunk
+        if attention_impl == "auto":
+            # Pallas flash attention on real TPU; plain einsum elsewhere
+            # (CPU test meshes, interpreters)
+            devices = (
+                self.mesh.devices.flat if self.mesh is not None else [self.device]
+            )
+            attention_impl = (
+                "flash" if all(d.platform == "tpu" for d in devices) else "einsum"
+            )
+        self.attention_impl = attention_impl
         self.params = params if params is not None else self._load_params(checkpoint)
         if self.mesh is not None:  # Megatron-style TP over the 'model' axis
             from fast_speech_enhancement_metrics_tpu.parallel.sharding import (
@@ -102,6 +113,7 @@ class SpeechBERTScore(BaseMetric):
                 self.config,
                 output_layer=self.output_layer,
                 precision=self.precision,
+                attention_impl=self.attention_impl,
             )
 
         chunk = self.batch_chunk

@@ -100,7 +100,31 @@ def _matmul(x, w, precision):
     return jnp.matmul(x, w, precision=precision)
 
 
-def _attention(p, x, num_heads, precision):
+def _flash_sdpa(q, k, v, scaling):
+    """Pallas TPU flash attention: never materializes the (B, H, T, T) logits
+    in HBM (XLA's attention writes+reads ~T^2*H*4 bytes per layer — the HBM
+    bottleneck at ~800 frames). Sequences pad to the kernel block size with
+    segment-id masking so padded keys are invisible to real queries."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, _, t, _ = q.shape
+    pad = (-t) % 512
+    if pad:
+        spatial = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v = (jnp.pad(a, spatial) for a in (q, k, v))
+    ids = jnp.broadcast_to(
+        (jnp.arange(t + pad) >= t).astype(jnp.int32), (b, t + pad)
+    )
+    out = flash_attention(
+        q, k, v, segment_ids=SegmentIds(ids, ids), sm_scale=scaling
+    )
+    return out[:, :, :t, :] if pad else out
+
+
+def _attention(p, x, num_heads, precision, impl="einsum"):
     b, t, d = x.shape
     head_dim = d // num_heads
     scaling = head_dim**-0.5
@@ -108,29 +132,36 @@ def _attention(p, x, num_heads, precision):
     def split(h):
         return h.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
 
-    q = split(_matmul(x, p["q_w"], precision) + p["q_b"]) * scaling
+    q = split(_matmul(x, p["q_w"], precision) + p["q_b"])
     k = split(_matmul(x, p["k_w"], precision) + p["k_b"])
     v = split(_matmul(x, p["v_w"], precision) + p["v_b"])
 
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision)
-    weights = jax.nn.softmax(logits, axis=-1)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v, precision=precision)
+    if impl == "flash":
+        ctx = _flash_sdpa(q, k, v, scaling)
+    else:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scaling, k, precision=precision)
+        weights = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v, precision=precision)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
     return _matmul(ctx, p["o_w"], precision) + p["o_b"]
 
 
-def _encoder_layer(p, x, config: HubertConfig, precision):
+def _encoder_layer(p, x, config: HubertConfig, precision, attention_impl="einsum"):
     eps = config.layer_norm_eps
     if config.do_stable_layer_norm:
         x = x + _attention(
-            p, _layer_norm(x, p["ln1_s"], p["ln1_b"], eps), config.num_attention_heads, precision
+            p,
+            _layer_norm(x, p["ln1_s"], p["ln1_b"], eps),
+            config.num_attention_heads,
+            precision,
+            attention_impl,
         )
         h = _layer_norm(x, p["ln2_s"], p["ln2_b"], eps)
         h = jax.nn.gelu(_matmul(h, p["ff_w1"], precision) + p["ff_b1"], approximate=False)
         return x + (_matmul(h, p["ff_w2"], precision) + p["ff_b2"])
     # post-LN (HuBERT-base / mHuBERT-147)
     x = _layer_norm(
-        x + _attention(p, x, config.num_attention_heads, precision),
+        x + _attention(p, x, config.num_attention_heads, precision, attention_impl),
         p["ln1_s"],
         p["ln1_b"],
         eps,
@@ -147,11 +178,13 @@ def hubert_hidden_state(
     config: HubertConfig = MHUBERT_147_CONFIG,
     output_layer: int = 8,
     precision: str | None = "highest",
+    attention_impl: str = "einsum",
 ) -> jnp.ndarray:
     """(B, T) audio -> (B, frames, hidden) == HF ``hidden_states[output_layer]``.
 
     ``hidden_states[L]`` is the input to encoder layer L, i.e. the output of
     the first L encoder layers — only those L layers are executed.
+    ``attention_impl="flash"`` selects the Pallas TPU flash-attention kernel.
     """
     x = feature_encoder(params, audio, config, precision)
 
@@ -180,7 +213,7 @@ def hubert_hidden_state(
         x = _layer_norm(x, enc["s"], enc["b"], config.layer_norm_eps)
 
     for p in params["layers"][:output_layer]:
-        x = _encoder_layer(p, x, config, precision)
+        x = _encoder_layer(p, x, config, precision, attention_impl)
     return x
 
 

@@ -35,6 +35,30 @@ CENTRE_OF_BAND_BARK_16K = np.array([
     16.583761, 17.117382, 17.657663, 18.204674, 18.758478,
     19.319147, 19.886751, 20.461355, 21.043034])
 
+CENTRE_OF_BAND_HZ_16K = np.array([
+    7.867213, 31.634144, 63.655895, 96.124611, 129.044968,
+    162.421738, 196.259659, 230.563568, 265.338348, 300.588867,
+    336.320129, 372.537140, 409.244934, 446.448578, 484.568604,
+    526.600586, 570.303833, 619.423340, 672.121643, 728.525696,
+    785.675964, 846.835693, 909.691650, 977.063293, 1049.861694,
+    1129.635986, 1217.257568, 1312.109497, 1412.501465, 1517.999390,
+    1628.894165, 1746.194336, 1871.568848, 2008.776123, 2158.979248,
+    2326.743164, 2513.787109, 2722.488770, 2952.586670, 3205.835449,
+    3492.679932, 3820.219238, 4193.938477, 4619.846191, 5100.437012,
+    5636.199219, 6234.313477, 6946.734863, 7796.473633])
+
+WIDTH_OF_BAND_HZ_16K = np.array([
+    15.734426, 31.799433, 32.244064, 32.693359, 33.147385,
+    33.606140, 34.069702, 34.538116, 35.011429, 35.489655,
+    35.972870, 36.461121, 36.954407, 37.452911, 40.269653,
+    42.311859, 45.992554, 51.348511, 55.040527, 56.775208,
+    58.699402, 62.445862, 64.820923, 69.195374, 76.745667,
+    84.016235, 90.825684, 97.931152, 103.348877, 107.801880,
+    113.552246, 121.490601, 130.420410, 143.431763, 158.486816,
+    176.872803, 198.314697, 219.549561, 240.600098, 268.702393,
+    306.060059, 349.937012, 398.686279, 454.713867, 506.841797,
+    564.863770, 637.261230, 794.717285, 931.068359])
+
 WIDTH_OF_BAND_BARK_16K = np.array([
     0.157344, 0.317994, 0.322441, 0.326934, 0.331474,
     0.336061, 0.340697, 0.345381, 0.350114, 0.354897,
@@ -77,6 +101,18 @@ SL_16K = 1.866055e-01  #: loudness-scale normalization (ITU Sl, 16 kHz mode)
 ZWICKER_POWER = 0.23
 
 
+def interp_table(values: np.ndarray, nbarks: int) -> np.ndarray:
+    """Linearly resample a 49-entry ITU table to ``nbarks`` bands.
+
+    Matches the reference's ``interp`` (fast_se_metrics/utils/bark.py:79-97):
+    sample the piecewise-linear interpolant of ``values`` (over index grid
+    0..48) at ``linspace(0, 49, nbarks, endpoint=False)``. Identity for
+    ``nbarks == 49``.
+    """
+    positions = np.linspace(0.0, 49.0, nbarks, endpoint=False)
+    return np.interp(positions, np.arange(len(values), dtype=np.float64), values)
+
+
 @functools.lru_cache(maxsize=None)
 def bark_constants(nbarks: int = 49, nfreqs: int = 256):
     """Precompute every dense constant the Bark/loudness path needs.
@@ -90,25 +126,42 @@ def bark_constants(nbarks: int = 49, nfreqs: int = 256):
     * ``thresholds``   (nbarks,) absolute hearing threshold power,
     * ``zwicker_exp``  (nbarks,) per-band Zwicker exponent.
 
-    Only the canonical 49-band / 256-bin configuration is supported (the
-    reference's interpolated variant for other sizes is unused by PESQ).
+    The canonical 49-band / 256-bin mode uses the exact ITU band->bin table;
+    other sizes use linear interpolation of the ITU tables and a generated
+    rectangular filterbank (same scheme as the reference's BarkFilterBank,
+    fast_se_metrics/utils/bark.py:139-161).
     """
-    if nbarks != 49 or nfreqs != 256:
-        raise NotImplementedError("PESQ uses the canonical 49-band/256-bin mode")
+    centre_hz = interp_table(CENTRE_OF_BAND_HZ_16K, nbarks)
+    width_hz = interp_table(WIDTH_OF_BAND_HZ_16K, nbarks)
+    width_bark = interp_table(WIDTH_OF_BAND_BARK_16K, nbarks)
+    pow_dens = interp_table(POW_DENS_CORRECTION_FACTOR_16K, nbarks) * SP_16K
+    thresholds = interp_table(ABS_THRESH_POWER_16K, nbarks)
 
-    edges = np.concatenate([[0], np.cumsum(NR_OF_HZ_BANDS_PER_BARK_BAND_16K)])
     fbank = np.zeros((nbarks, nfreqs), dtype=np.float64)
-    for i in range(nbarks):
-        fbank[i, edges[i] : edges[i + 1]] = 1.0
+    if nbarks == 49 and nfreqs == 256:
+        edges = np.concatenate([[0], np.cumsum(NR_OF_HZ_BANDS_PER_BARK_BAND_16K)])
+        for i in range(nbarks):
+            fbank[i, edges[i] : edges[i + 1]] = 1.0
+    else:
+        prev, bin_width = 0, 8000.0 / nfreqs
+        for i in range(nbarks):
+            stride = width_hz[i] / bin_width
+            centre = centre_hz[i] / bin_width
+            start = max(prev, int(np.floor(centre - stride / 2)))
+            end = min(nfreqs, int(np.ceil(centre + stride / 2)))
+            fbank[i, start:end] = 1.0
+            prev = end
 
     exp = 6.0 / (CENTRE_OF_BAND_BARK_16K + 2.0)
     zwicker_exp = np.clip(exp, 1.0, 2.0) ** 0.15 * ZWICKER_POWER
+    if nbarks != 49:
+        zwicker_exp = interp_table(zwicker_exp, nbarks)
 
     return {
         "fbank": fbank.astype(np.float32),
-        "pow_dens": (POW_DENS_CORRECTION_FACTOR_16K * SP_16K).astype(np.float32),
-        "width_bark": WIDTH_OF_BAND_BARK_16K.astype(np.float32),
-        "total_width": float(WIDTH_OF_BAND_BARK_16K[1:].sum()),
-        "thresholds": ABS_THRESH_POWER_16K.astype(np.float32),
+        "pow_dens": pow_dens.astype(np.float32),
+        "width_bark": width_bark.astype(np.float32),
+        "total_width": float(width_bark[1:].sum()),
+        "thresholds": thresholds.astype(np.float32),
         "zwicker_exp": zwicker_exp.astype(np.float32),
     }

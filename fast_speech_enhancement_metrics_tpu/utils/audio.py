@@ -99,8 +99,55 @@ def load_audio_data(
     snr_high: float = 25.0,
     snr_low: float = -5.0,
     seed: int = 42,
+    source: str = "synthetic",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Drop-in shaped like the reference's loader (benchmarking/dataloading.py:75-81)."""
+    """Drop-in shaped like the reference's loader (benchmarking/dataloading.py:75-81).
+
+    ``source="hf"`` streams real speech/noise from the HuggingFace hub like
+    the reference (network required); ``"synthetic"`` (default) uses the
+    committed deterministic generators, so tests and benches run offline.
+    """
+    if source == "hf":
+        try:
+            speech = load_hf_speech(num_samples, sample_duration, sample_rate)
+            noise = synth_noise(num_samples, sample_duration, sample_rate, seed=seed + 1)
+            return combine_speech_noise(speech, noise, snr_high, snr_low, seed=seed + 2)
+        except Exception as e:  # no network / no datasets package
+            import warnings
+
+            warnings.warn(
+                f"HF streaming unavailable ({type(e).__name__}: {e}); "
+                "falling back to synthetic audio",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     speech = synth_speech(num_samples, sample_duration, sample_rate, seed=seed)
     noise = synth_noise(num_samples, sample_duration, sample_rate, seed=seed + 1)
     return combine_speech_noise(speech, noise, snr_high, snr_low, seed=seed + 2)
+
+
+def load_hf_speech(
+    num_samples: int, duration_s: float, sample_rate: int = 16000
+) -> np.ndarray:
+    """Stream real utterances from MLCommons peoples_speech (the reference's
+    speech source — benchmarking/dataloading.py:37-60): resample to the
+    target rate and tile/crop each clip to exactly ``duration_s`` seconds."""
+    from datasets import load_dataset  # optional dependency
+
+    from fast_speech_enhancement_metrics_tpu.ops.resample import resample
+
+    target_len = int(duration_s * sample_rate)
+    out = np.zeros((num_samples, target_len), dtype=np.float32)
+    stream = load_dataset(
+        "MLCommons/peoples_speech", "clean", split="train", streaming=True
+    )
+    for i, item in enumerate(stream):
+        if i >= num_samples:
+            break
+        audio = np.asarray(item["audio"]["array"], dtype=np.float32)
+        orig_sr = int(item["audio"]["sampling_rate"])
+        if orig_sr != sample_rate:
+            audio = np.asarray(resample(audio[None], orig_sr, sample_rate))[0]
+        reps = -(-target_len // max(len(audio), 1))
+        out[i] = np.tile(audio, reps)[:target_len]
+    return out
