@@ -55,6 +55,7 @@ class DNSMOS(BaseMetric):
         checkpoint=DEFAULT_CHECKPOINT,
         segment_chunk: int | None = None,
         precision: str | None = "default",
+        conv_dtype=None,
         **kw,
     ):
         super().__init__(sample_rate, **kw)
@@ -64,6 +65,9 @@ class DNSMOS(BaseMetric):
         #: (B*S) window axis caps peak HBM for large batches
         self.segment_chunk = segment_chunk
         self.precision = precision
+        #: e.g. jnp.bfloat16: bf16 conv activations (fp32 accumulate) — halves
+        #: the conv stack's HBM traffic
+        self.conv_dtype = conv_dtype
         self.params = load_params(checkpoint, dtype=self.dtype)
         if self.mesh is not None:  # tiny net: replicate across the mesh
             import jax
@@ -102,11 +106,11 @@ class DNSMOS(BaseMetric):
             if pad:
                 windows = jnp.concatenate([windows, windows[:pad]], axis=0)
             raw = jax.lax.map(
-                lambda w: dnsmos_net(self.params, w, self.precision),
+                lambda w: dnsmos_net(self.params, w, self.precision, self.conv_dtype),
                 windows.reshape(-1, chunk, self.window),
             ).reshape(-1, 3)[:n]
         else:
-            raw = dnsmos_net(self.params, windows, self.precision)
+            raw = dnsmos_net(self.params, windows, self.precision, self.conv_dtype)
         raw = raw.astype(jnp.float32)
         calibrated = (
             jnp.asarray(POLY_C)

@@ -60,9 +60,17 @@ def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def dnsmos_net(
-    params: dict, audio: jnp.ndarray, precision=lax.Precision.HIGHEST
+    params: dict,
+    audio: jnp.ndarray,
+    precision=lax.Precision.HIGHEST,
+    conv_dtype=None,
 ) -> jnp.ndarray:
-    """(N, 144160) audio windows at 16 kHz -> (N, 3) raw SIG/BAK/OVR."""
+    """(N, 144160) audio windows at 16 kHz -> (N, 3) raw SIG/BAK/OVR.
+
+    ``conv_dtype=jnp.bfloat16`` stores conv activations in bf16 (halving the
+    HBM traffic of the stack, the throughput bottleneck) while accumulating
+    in fp32; the learned STFT, global pooling and output MLP stay fp32.
+    """
     frames = frame(audio, 320, 160)  # (N, F, 320)
 
     real = jnp.einsum(
@@ -75,22 +83,28 @@ def dnsmos_net(
     features = jnp.log10(jnp.maximum(power, 1e-12))
 
     x = features[..., None]  # NHWC: (N, time, 161, 1)
+    if conv_dtype is not None:
+        x = x.astype(conv_dtype)
     for n in range(len(CONV_CHANNELS)):
+        w = params[f"conv{n}_w"]
         x = lax.conv_general_dilated(
             x,
-            params[f"conv{n}_w"],
+            w if conv_dtype is None else w.astype(conv_dtype),
             window_strides=(1, 1),
             padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             # TPU MXU default truncates conv inputs to bf16 (~1e-2 activation
             # error after 7 layers); HIGHEST keeps fp32-equivalent accuracy
             precision=precision,
+            preferred_element_type=jnp.float32,
         )
         x = jnp.maximum(x + params[f"conv{n}_b"], 0.0)
+        if conv_dtype is not None:
+            x = x.astype(conv_dtype)  # fused into the conv epilogue by XLA
         if n in POOL_AFTER:
             x = _max_pool_2x2(x)
 
-    pooled = jnp.max(x, axis=(1, 2))  # global max over (time, freq) -> (N, 64)
+    pooled = jnp.max(x, axis=(1, 2)).astype(jnp.float32)  # global max -> (N, 64)
 
     # the MLP's error lands directly on the scores and its FLOPs are
     # negligible — always run it at fp32-equivalent precision

@@ -36,6 +36,13 @@ def test_dnsmos_high_vs_low_snr(high_snr_speech_data, low_snr_speech_data):
         assert np.mean([r[key] for r in high]) > np.mean([r[key] for r in low])
 
 
+def test_dnsmos_segment_chunking_exact(speech_data):
+    """lax.map chunking is a memory optimization — results must be identical."""
+    full = DNSMOS()(None, speech_data["noisy_speech"])
+    chunked = DNSMOS(segment_chunk=16)(None, speech_data["noisy_speech"])
+    assert full == chunked
+
+
 def test_dnsmos_range(speech_data):
     metric = DNSMOS()
     for r in metric(None, speech_data["noisy_speech"]):
