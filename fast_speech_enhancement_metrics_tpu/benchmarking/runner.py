@@ -57,12 +57,14 @@ def make_metrics(sample_rate: int = 16000) -> dict:
             batch_chunk=16,
         )
 
+    import jax.numpy as jnp
+
     return {
         "PESQ": lambda: PESQ(),
         "STOI": lambda: STOI(sample_rate=sample_rate),
         "SDR": lambda: SDR(),
         "LSD": lambda: LSD(),
-        "DNSMOS": lambda: DNSMOS(segment_chunk=16),
+        "DNSMOS": lambda: DNSMOS(segment_chunk=16, conv_dtype=jnp.bfloat16),
         "SpeechBERTScore": make_sbs,
     }
 

@@ -46,11 +46,17 @@ class SpeechBERTScore(BaseMetric):
         params=None,
         config: HubertConfig = MHUBERT_147_CONFIG,
         output_layer: int = 8,
-        precision: str | None = "highest",
+        precision: str | None = "default",
         batch_chunk: int | None = None,
         attention_impl: str = "auto",
         **kw,
     ):
+        """``precision="default"`` = bf16 MXU passes, the TPU analogue of the
+        fp16 autocast + TF32 the reference runs this model under (measured
+        6e-4 F1 deviation — the reference's own published deviation class);
+        ``"highest"`` = fp32-exact. ``attention_impl``: "einsum" (XLA),
+        "flash" (Pallas kernel — wins once sequences are long enough that the
+        (B,H,T,T) logits dominate HBM), or "auto"."""
         super().__init__(sample_rate, **kw)
         self.config = config
         self.output_layer = output_layer
@@ -58,15 +64,6 @@ class SpeechBERTScore(BaseMetric):
         #: attention logits are (b, 12, T, T) — chunking the utterance axis
         #: caps peak HBM for long-audio/large-batch workloads
         self.batch_chunk = batch_chunk
-        if attention_impl == "auto":
-            # Pallas flash attention on real TPU; plain einsum elsewhere
-            # (CPU test meshes, interpreters)
-            devices = (
-                self.mesh.devices.flat if self.mesh is not None else [self.device]
-            )
-            attention_impl = (
-                "flash" if all(d.platform == "tpu" for d in devices) else "einsum"
-            )
         self.attention_impl = attention_impl
         self.params = params if params is not None else self._load_params(checkpoint)
         if self.mesh is not None:  # Megatron-style TP over the 'model' axis
@@ -106,6 +103,19 @@ class SpeechBERTScore(BaseMetric):
 
         speech = jnp.concatenate([clean, denoised], axis=0)
 
+        impl = self.attention_impl
+        if impl == "auto":
+            # measured on v5e at ~800 frames: XLA's bf16 einsum attention
+            # beats the flash kernel; flash wins once T^2 logits dominate
+            frames = speech.shape[1] // 320
+            on_tpu = all(
+                d.platform == "tpu"
+                for d in (
+                    self.mesh.devices.flat if self.mesh is not None else [self.device]
+                )
+            )
+            impl = "flash" if (on_tpu and frames >= 2000) else "einsum"
+
         def encode(audio):
             return hubert_hidden_state(
                 self.params,
@@ -113,7 +123,7 @@ class SpeechBERTScore(BaseMetric):
                 self.config,
                 output_layer=self.output_layer,
                 precision=self.precision,
-                attention_impl=self.attention_impl,
+                attention_impl=impl,
             )
 
         chunk = self.batch_chunk

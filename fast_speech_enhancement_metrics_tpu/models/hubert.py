@@ -137,7 +137,15 @@ def _attention(p, x, num_heads, precision, impl="einsum"):
     v = split(_matmul(x, p["v_w"], precision) + p["v_b"])
 
     if impl == "flash":
-        ctx = _flash_sdpa(q, k, v, scaling)
+        if precision in (None, "default"):
+            # Mosaic lowers fp32 matmuls to multi-pass; at default precision
+            # feed the kernel bf16 operands (same fidelity class as the bf16
+            # MXU einsum path) and take the fp32 softmax-accumulated output
+            out_dtype = q.dtype
+            q, k, v = (a.astype(jnp.bfloat16) for a in (q, k, v))
+            ctx = _flash_sdpa(q, k, v, scaling).astype(out_dtype)
+        else:
+            ctx = _flash_sdpa(q, k, v, scaling)
     else:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * scaling, k, precision=precision)
         weights = jax.nn.softmax(logits, axis=-1)
