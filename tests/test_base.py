@@ -1,0 +1,59 @@
+"""Base runtime API contract (reference: fast_se_metrics/base.py behaviors)."""
+
+import numpy as np
+import pytest
+import torch
+
+from fast_speech_enhancement_metrics_tpu import LSD, SDR
+
+
+def test_torch_tensor_inputs(speech_data):
+    metric = LSD()
+    from_numpy = metric(speech_data["speech"], speech_data["noisy_speech"])
+    from_torch = metric(
+        torch.tensor(speech_data["speech"]), torch.tensor(speech_data["noisy_speech"])
+    )
+    for a, b in zip(from_numpy, from_torch):
+        assert a["LSD"] == pytest.approx(b["LSD"], rel=1e-6)
+
+
+def test_1d_input_returns_single_result(speech_data):
+    metric = LSD()
+    results = metric(speech_data["speech"][0], speech_data["noisy_speech"][0])
+    assert len(results) == 1
+    assert isinstance(results[0]["LSD"], float)
+
+
+def test_mismatched_shapes_raise():
+    metric = LSD()
+    with pytest.raises(ValueError, match="same shape"):
+        metric(np.zeros((2, 1000), np.float32), np.zeros((2, 999), np.float32))
+
+
+def test_3d_input_raises():
+    metric = LSD()
+    with pytest.raises(ValueError, match="1-D or 2-D"):
+        metric(np.zeros((1, 2, 100), np.float32), np.zeros((1, 2, 100), np.float32))
+
+
+def test_resample_path_matches_native_rate(speech_data):
+    """Passing 48 kHz audio must equal resampling to 16 kHz manually."""
+    from fast_speech_enhancement_metrics_tpu.ops.resample import resample
+
+    clean48 = np.repeat(speech_data["speech"], 3, axis=1)  # crude 48k stand-in
+    noisy48 = np.repeat(speech_data["noisy_speech"], 3, axis=1)
+
+    via_metric = SDR(sample_rate=48000)(clean48, noisy48)
+    manual = SDR()(
+        np.asarray(resample(clean48, 48000, 16000)),
+        np.asarray(resample(noisy48, 48000, 16000)),
+    )
+    for a, b in zip(via_metric, manual):
+        assert a["SDR"] == pytest.approx(b["SDR"], abs=1e-3)
+
+
+def test_sdr_self_reference_saturates(speech_data):
+    """SDR(c, c) hits the 1e-8 coherence clamp ceiling (~80 dB) by design."""
+    results = SDR()(speech_data["speech"], speech_data["speech"])
+    for r in results:
+        assert r["SDR"] > 40.0
