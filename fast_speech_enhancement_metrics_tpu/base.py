@@ -104,10 +104,16 @@ class BaseMetric(abc.ABC):
     def _compute(self, clean: jnp.ndarray | None, denoised: jnp.ndarray) -> dict[str, jnp.ndarray]:
         """Pure, jittable. Inputs at EXPECTED_SAMPLING_RATE. Returns (B,) arrays."""
 
+    def _run_prepared(self, clean, denoised) -> dict[str, jnp.ndarray]:
+        """Score already-device-placed audio. Subclasses may override to run
+        host-orchestrated execution plans (e.g. chunk loops over a smaller
+        jitted graph); the default is the single fused graph."""
+        return self._jitted(clean, denoised)
+
     def compute(self, clean_speech, denoised_speech) -> dict[str, jnp.ndarray]:
         """Functional API: returns a dict of per-utterance score arrays (on device)."""
         clean, denoised = self.prepare_inputs(clean_speech, denoised_speech)
-        return self._jitted(clean, denoised)
+        return self._run_prepared(clean, denoised)
 
     def __call__(self, clean_speech, denoised_speech) -> list[dict[str, float]]:
         scores = self.compute(clean_speech, denoised_speech)

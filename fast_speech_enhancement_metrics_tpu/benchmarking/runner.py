@@ -42,7 +42,7 @@ def make_metrics(sample_rate: int = 16000) -> dict:
         )
 
         if Path(DEFAULT_CHECKPOINT).exists():
-            return SpeechBERTScore(batch_chunk=16)
+            return SpeechBERTScore(host_chunk=16)
         # zero-egress: real mHuBERT-147 weights unavailable -> random weights
         # of the identical architecture (same FLOPs, same memory traffic)
         import jax
@@ -54,7 +54,7 @@ def make_metrics(sample_rate: int = 16000) -> dict:
 
         return SpeechBERTScore(
             params=init_params(jax.random.key(0), MHUBERT_147_CONFIG),
-            batch_chunk=16,
+            host_chunk=16,
         )
 
     import jax.numpy as jnp
@@ -64,7 +64,9 @@ def make_metrics(sample_rate: int = 16000) -> dict:
         "STOI": lambda: STOI(sample_rate=sample_rate),
         "SDR": lambda: SDR(),
         "LSD": lambda: LSD(),
-        "DNSMOS": lambda: DNSMOS(segment_chunk=16, conv_dtype=jnp.bfloat16),
+        # host_chunk: per-chunk jitted net (compiles in seconds) instead of a
+        # giant fused lax.map graph (minutes through remote-compile services)
+        "DNSMOS": lambda: DNSMOS(host_chunk=16, conv_dtype=jnp.bfloat16),
         "SpeechBERTScore": make_sbs,
     }
 

@@ -49,6 +49,7 @@ class SpeechBERTScore(BaseMetric):
         precision: str | None = "default",
         batch_chunk: int | None = None,
         attention_impl: str = "auto",
+        host_chunk: int | None = None,
         **kw,
     ):
         """``precision="default"`` = bf16 MXU passes, the TPU analogue of the
@@ -65,6 +66,10 @@ class SpeechBERTScore(BaseMetric):
         #: caps peak HBM for long-audio/large-batch workloads
         self.batch_chunk = batch_chunk
         self.attention_impl = attention_impl
+        #: like batch_chunk but the chunk loop runs in Python over one small
+        #: jitted encoder graph (identical results; a fraction of the XLA
+        #: compile cost of a fused lax.map graph). Single-device only.
+        self.host_chunk = host_chunk
         self.params = params if params is not None else self._load_params(checkpoint)
         if self.mesh is not None:  # Megatron-style TP over the 'model' axis
             from fast_speech_enhancement_metrics_tpu.parallel.sharding import (
@@ -97,24 +102,76 @@ class SpeechBERTScore(BaseMetric):
                 f"'{DEFAULT_CHECKPOINT}'"
             ) from e
 
+    def _resolve_impl(self, num_samples: int) -> str:
+        impl = self.attention_impl
+        if impl != "auto":
+            return impl
+        # measured on v5e at ~800 frames: XLA's bf16 einsum attention beats
+        # the flash kernel; flash wins once T^2 logits dominate HBM
+        frames = num_samples // 320
+        on_tpu = all(
+            d.platform == "tpu"
+            for d in (
+                self.mesh.devices.flat if self.mesh is not None else [self.device]
+            )
+        )
+        return "flash" if (on_tpu and frames >= 2000) else "einsum"
+
+    def _f1_from_embeddings(self, clean_emb, denoised_emb):
+        norm_c = clean_emb / jnp.linalg.norm(clean_emb, axis=2, keepdims=True)
+        norm_d = denoised_emb / jnp.linalg.norm(denoised_emb, axis=2, keepdims=True)
+        sim = jnp.einsum("btd,bsd->bts", norm_d, norm_c, precision="highest")
+        precision_score = jnp.max(sim, axis=2).mean(axis=1)
+        recall = jnp.max(sim, axis=1).mean(axis=1)
+        f1 = 2.0 * precision_score * recall / (precision_score + recall)
+        return {"SpeechBERTScore": f1}
+
+    def _run_prepared(self, clean, denoised):
+        if self.host_chunk is None:
+            return super()._run_prepared(clean, denoised)
+        if self.sample_rate != self.EXPECTED_SAMPLING_RATE:
+            from fast_speech_enhancement_metrics_tpu.ops.resample import resample
+
+            clean = resample(clean, self.sample_rate, self.EXPECTED_SAMPLING_RATE)
+            denoised = resample(denoised, self.sample_rate, self.EXPECTED_SAMPLING_RATE)
+
+        impl = self._resolve_impl(denoised.shape[1])
+        if not hasattr(self, "_encode_jitted"):
+            import jax
+
+            self._encode_jitted = jax.jit(
+                lambda a: hubert_hidden_state(
+                    self.params,
+                    a,
+                    self.config,
+                    output_layer=self.output_layer,
+                    precision=self.precision,
+                    attention_impl=impl,
+                )
+            )
+            self._f1_jitted = jax.jit(self._f1_from_embeddings)
+
+        speech = jnp.concatenate([clean, denoised], axis=0)
+        n, chunk = speech.shape[0], self.host_chunk
+        pad = (-n) % chunk
+        if pad:
+            speech = jnp.concatenate([speech, speech[:pad]], axis=0)
+        emb = jnp.concatenate(
+            [
+                self._encode_jitted(speech[i : i + chunk])
+                for i in range(0, speech.shape[0], chunk)
+            ],
+            axis=0,
+        )[:n]
+        batch = n // 2
+        return self._f1_jitted(emb[:batch], emb[batch:])
+
     def _compute(self, clean, denoised):
         assert clean is not None
         batch = clean.shape[0]
 
         speech = jnp.concatenate([clean, denoised], axis=0)
-
-        impl = self.attention_impl
-        if impl == "auto":
-            # measured on v5e at ~800 frames: XLA's bf16 einsum attention
-            # beats the flash kernel; flash wins once T^2 logits dominate
-            frames = speech.shape[1] // 320
-            on_tpu = all(
-                d.platform == "tpu"
-                for d in (
-                    self.mesh.devices.flat if self.mesh is not None else [self.device]
-                )
-            )
-            impl = "flash" if (on_tpu and frames >= 2000) else "einsum"
+        impl = self._resolve_impl(speech.shape[1])
 
         def encode(audio):
             return hubert_hidden_state(
@@ -140,14 +197,4 @@ class SpeechBERTScore(BaseMetric):
             emb = emb.reshape(-1, emb.shape[2], emb.shape[3])[:n]
         else:
             emb = encode(speech)
-        norm = jnp.linalg.norm(emb, axis=2, keepdims=True)
-        emb = emb / norm
-        clean_emb, denoised_emb = emb[:batch], emb[batch:]
-
-        sim = jnp.einsum(
-            "btd,bsd->bts", denoised_emb, clean_emb, precision=self.precision
-        )
-        precision_score = jnp.max(sim, axis=2).mean(axis=1)
-        recall = jnp.max(sim, axis=1).mean(axis=1)
-        f1 = 2.0 * precision_score * recall / (precision_score + recall)
-        return {"SpeechBERTScore": f1}
+        return self._f1_from_embeddings(emb[:batch], emb[batch:])

@@ -43,6 +43,15 @@ def test_dnsmos_segment_chunking_exact(speech_data):
     assert full == chunked
 
 
+def test_dnsmos_host_chunking_matches(speech_data):
+    """Python-loop chunking over a per-chunk jitted net == one fused graph."""
+    full = DNSMOS()(None, speech_data["noisy_speech"])
+    host = DNSMOS(host_chunk=16)(None, speech_data["noisy_speech"])
+    for a, b in zip(full, host):
+        for key in a:
+            assert a[key] == pytest.approx(b[key], abs=1e-5), key
+
+
 def test_dnsmos_range(speech_data):
     metric = DNSMOS()
     for r in metric(None, speech_data["noisy_speech"]):

@@ -142,6 +142,20 @@ def test_speechbertscore_batch_chunking_exact(speech_data):
         )
 
 
+def test_speechbertscore_host_chunking_matches(speech_data):
+    model, cfg = _hf_model()
+    params = convert_hf_hubert(model.state_dict(), _our_config(cfg))
+    kw = dict(params=params, config=_our_config(cfg), output_layer=3)
+    full = SpeechBERTScore(**kw)(speech_data["speech"], speech_data["noisy_speech"])
+    host = SpeechBERTScore(host_chunk=2, **kw)(
+        speech_data["speech"], speech_data["noisy_speech"]
+    )
+    for a, b in zip(full, host):
+        assert a["SpeechBERTScore"] == pytest.approx(
+            b["SpeechBERTScore"], abs=1e-6
+        )
+
+
 def test_speechbertscore_identical_is_one(speech_data):
     model, cfg = _hf_model()
     params = convert_hf_hubert(model.state_dict(), _our_config(cfg))
