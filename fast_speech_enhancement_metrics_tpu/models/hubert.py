@@ -216,12 +216,18 @@ def hubert_hidden_state(
     pos = jax.nn.gelu(pos + params["pos_conv"]["b"], approximate=False)
     x = x + pos
 
+    enc = params["encoder_ln"]
     if not config.do_stable_layer_norm:
-        enc = params["encoder_ln"]
+        # post-LN stack: encoder LayerNorm applies before the layers
         x = _layer_norm(x, enc["s"], enc["b"], config.layer_norm_eps)
 
     for p in params["layers"][:output_layer]:
         x = _encoder_layer(p, x, config, precision, attention_impl)
+
+    if config.do_stable_layer_norm and output_layer == config.num_hidden_layers:
+        # pre-LN stack: encoder LayerNorm applies after the FINAL layer, and
+        # HF's hidden_states[num_layers] includes it
+        x = _layer_norm(x, enc["s"], enc["b"], config.layer_norm_eps)
     return x
 
 

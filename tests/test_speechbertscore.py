@@ -67,6 +67,26 @@ def test_hubert_parity_weight_norm(layer):
     np.testing.assert_allclose(ours, expected, atol=2e-4)
 
 
+def test_hubert_parity_large_style():
+    """hubert-large architecture class: layer-norm feature extractor,
+    conv bias, pre-LN (stable) encoder layers."""
+    model, cfg = _hf_model(
+        feat_extract_norm="layer", conv_bias=True, do_stable_layer_norm=True
+    )
+    audio = np.random.RandomState(7).randn(2, 8000).astype(np.float32)
+    with torch.no_grad():
+        expected = (
+            model(torch.tensor(audio), output_hidden_states=True)
+            .hidden_states[3]
+            .numpy()
+        )
+    params = convert_hf_hubert(model.state_dict(), _our_config(cfg))
+    ours = np.asarray(
+        hubert_hidden_state(params, audio, _our_config(cfg), output_layer=3)
+    )
+    np.testing.assert_allclose(ours, expected, atol=2e-4)
+
+
 def test_hubert_parity_batch_norm_pos_conv():
     model, cfg = _hf_model(conv_pos_batch_norm=True)
     # give the BN non-trivial running statistics so folding is exercised
