@@ -9,60 +9,123 @@ Prints ONE JSON line: the geometric-mean speedup over the reference's
 published GPU numbers (BASELINE.md). Per-metric details stream as ``#``
 comment lines and land in ``results/bench_details.json``.
 
+Resilience: some remote-compile/relay environments intermittently hang a
+request forever while an identical fresh submission succeeds, so by default
+each metric runs in its own subprocess with a timeout and retries
+(orchestrator mode). ``FSEM_BENCH_METRICS=<name>`` runs one metric inline
+(worker mode — also handy for manual runs).
+
 Env knobs:
   FSEM_BENCH_BATCH (default 64)   FSEM_BENCH_DUR (default 16)
   FSEM_BENCH_METRICS (comma list) FSEM_BENCH_SECONDS (time budget per metric)
+  FSEM_BENCH_TIMEOUT (subprocess timeout, default 900 s)
+  FSEM_BENCH_ATTEMPTS (retries per metric, default 3)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 from pathlib import Path
 
-import jax
 import numpy as np
 
-# persistent compilation cache: the model metrics' conv/attention graphs
-# compile slowly through remote-compile tunnels; cache across runs
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/fsem_jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-from fast_speech_enhancement_metrics_tpu.benchmarking.runner import (  # noqa: E402
-    bench_one,
-    make_metrics,
-)
+ALL_METRICS = ["PESQ", "STOI", "SDR", "LSD", "DNSMOS", "SpeechBERTScore"]
 
 BATCH = int(os.environ.get("FSEM_BENCH_BATCH", 64))
 DURATION_S = int(os.environ.get("FSEM_BENCH_DUR", 16))
 SAMPLE_RATE = 16000
-TIME_BUDGET_S = float(os.environ.get("FSEM_BENCH_SECONDS", 10))
+TIME_BUDGET_S = float(os.environ.get("FSEM_BENCH_SECONDS", 8))
 
 
-def main() -> None:
+def _configure_jax():
+    import jax
+
+    # persistent compilation cache: model-metric graphs take minutes through
+    # remote-compile tunnels; persist everything (incl. sub-second op-by-op
+    # executables) so warm runs submit no compile requests at all
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/fsem_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def run_worker(names: list[str]) -> list[dict]:
+    """Benchmark the named metrics inline; print one ``#`` line each."""
+    _configure_jax()
+    from fast_speech_enhancement_metrics_tpu.benchmarking.runner import (
+        bench_one,
+        make_metrics,
+    )
     from fast_speech_enhancement_metrics_tpu.utils.audio import load_audio_data
 
     clean, noisy, _ = load_audio_data(DURATION_S, BATCH, SAMPLE_RATE)
-
-    selected = os.environ.get("FSEM_BENCH_METRICS")
     factories = make_metrics(SAMPLE_RATE)
-    if selected:
-        factories = {k: factories[k] for k in selected.split(",")}
 
     details = []
-    for name, factory in factories.items():
+    for name in names:
         metric = None
         try:
-            metric = factory()
+            metric = factories[name]()
             result = bench_one(name, metric, clean, noisy, DURATION_S, TIME_BUDGET_S)
         except Exception as e:  # keep the suite going; report the failure
             result = {"metric": name, "error": f"{type(e).__name__}: {e}"}
         details.append(result)
         print(f"# {json.dumps(result)}", flush=True)
         del metric  # free device buffers before the next metric
+    return details
+
+
+def run_orchestrator(names: list[str]) -> list[dict]:
+    """One subprocess per metric with timeout + retries; collects results."""
+    timeout_s = float(os.environ.get("FSEM_BENCH_TIMEOUT", 900))
+    attempts = int(os.environ.get("FSEM_BENCH_ATTEMPTS", 3))
+
+    details = []
+    for name in names:
+        record = None
+        for attempt in range(1, attempts + 1):
+            env = dict(os.environ, FSEM_BENCH_METRICS=name)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    timeout=timeout_s,
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                )
+            except subprocess.TimeoutExpired:
+                print(
+                    f"# {name}: attempt {attempt} timed out after {timeout_s:.0f}s "
+                    "(environment hang) — retrying",
+                    flush=True,
+                )
+                continue
+            for line in proc.stdout.splitlines():
+                if line.startswith("# "):
+                    candidate = json.loads(line[2:])
+                    if candidate.get("metric") == name:
+                        record = candidate
+            if record is not None:
+                break
+            print(f"# {name}: attempt {attempt} produced no result — retrying", flush=True)
+        if record is None:
+            record = {"metric": name, "error": f"no result after {attempts} attempts"}
+        details.append(record)
+        print(f"# {json.dumps(record)}", flush=True)
+    return details
+
+
+def main() -> None:
+    selected = os.environ.get("FSEM_BENCH_METRICS")
+    if selected:
+        run_worker(selected.split(","))
+        return
+
+    details = run_orchestrator(ALL_METRICS)
 
     ok = [d for d in details if "error" not in d]
     speedups = [d["speedup_vs_ref_gpu"] for d in ok]

@@ -88,7 +88,9 @@ def bench_one(
     )
 
     def run():
-        scores = metric._jitted(prepared_clean, prepared_noisy)
+        # _run_prepared: the fused jitted graph, or a host-chunked execution
+        # plan for the model metrics (see metrics/dnsmos.py)
+        scores = metric._run_prepared(prepared_clean, prepared_noisy)
         jax.block_until_ready(scores)
         return scores
 
