@@ -41,16 +41,9 @@ TIME_BUDGET_S = float(os.environ.get("FSEM_BENCH_SECONDS", 8))
 
 
 def _configure_jax():
-    import jax
+    from fast_speech_enhancement_metrics_tpu.benchmarking.runner import configure_cache
 
-    # persistent compilation cache: model-metric graphs take minutes through
-    # remote-compile tunnels; persist everything (incl. sub-second op-by-op
-    # executables) so warm runs submit no compile requests at all
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/fsem_jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    configure_cache()
 
 
 def run_worker(names: list[str]) -> list[dict]:

@@ -13,6 +13,19 @@ import os
 import time
 from pathlib import Path
 
+def configure_cache() -> None:
+    """Point JAX at the persistent compilation cache (persist everything —
+    warm processes then submit zero compile requests, which matters in
+    remote-compile environments that occasionally lose requests)."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/fsem_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 #: reference "ours GPU" throughput at batch 64 in audio-seconds/s
 #: (samples/s read off plots/samples_per_second.png x 16 s clips; BASELINE.md)
 REFERENCE_GPU_AUDIO_S = {

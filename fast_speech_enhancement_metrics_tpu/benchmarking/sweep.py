@@ -17,6 +17,7 @@ from pathlib import Path
 
 from fast_speech_enhancement_metrics_tpu.benchmarking.runner import (
     bench_one,
+    configure_cache,
     make_metrics,
 )
 
@@ -33,6 +34,7 @@ def run_sweep(
 ) -> None:
     from fast_speech_enhancement_metrics_tpu.utils.audio import load_audio_data
 
+    configure_cache()
     max_batch = max(batch_sizes)
     clean, noisy, _ = load_audio_data(duration_s, max_batch, sample_rate)
 
