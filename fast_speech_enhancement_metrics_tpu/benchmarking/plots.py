@@ -52,7 +52,9 @@ def plot_samples_per_second(results, out="plots/samples_per_second.png", batch=6
     ax.bar([i - 0.2 for i in x], ref, width=0.4, label="reference GPU", color="#999")
     ax.bar([i + 0.2 for i in x], ours, width=0.4, label="ours TPU (1 chip)", color="#1f77b4")
     for i, (o, r) in enumerate(zip(ours, ref)):
-        ax.text(i + 0.2, o, f"{o / r:.0f}×", ha="center", va="bottom", fontsize=9)
+        speedup = o / r
+        label = f"{speedup:.0f}×" if speedup >= 10 else f"{speedup:.2f}×"
+        ax.text(i + 0.2, o, label, ha="center", va="bottom", fontsize=9)
     ax.set_yscale("log")
     ax.set_xticks(list(x), names, rotation=15)
     ax.set_ylabel("samples/s (16 s clips, batch 64)")
