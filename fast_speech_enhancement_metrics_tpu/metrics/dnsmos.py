@@ -75,6 +75,11 @@ class DNSMOS(BaseMetric):
         #: cost (useful where XLA compiles are expensive). Single-device only.
         self.host_chunk = host_chunk
         if host_chunk is not None:
+            if self.mesh is not None:
+                raise ValueError(
+                    "host_chunk is a single-device execution plan; use "
+                    "segment_chunk with a mesh"
+                )
             import jax
 
             self._net_jitted = jax.jit(

@@ -70,6 +70,11 @@ class SpeechBERTScore(BaseMetric):
         #: jitted encoder graph (identical results; a fraction of the XLA
         #: compile cost of a fused lax.map graph). Single-device only.
         self.host_chunk = host_chunk
+        if host_chunk is not None and self.mesh is not None:
+            raise ValueError(
+                "host_chunk is a single-device execution plan; use "
+                "batch_chunk with a mesh"
+            )
         self.params = params if params is not None else self._load_params(checkpoint)
         if self.mesh is not None:  # Megatron-style TP over the 'model' axis
             from fast_speech_enhancement_metrics_tpu.parallel.sharding import (
