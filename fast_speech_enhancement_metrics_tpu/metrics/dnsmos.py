@@ -32,6 +32,7 @@ from fast_speech_enhancement_metrics_tpu.base import BaseMetric
 from fast_speech_enhancement_metrics_tpu.models.dnsmos_net import (
     DEFAULT_CHECKPOINT,
     dnsmos_net,
+    dnsmos_net_shared,
     load_params,
 )
 from fast_speech_enhancement_metrics_tpu.ops.stft import frame
@@ -57,6 +58,7 @@ class DNSMOS(BaseMetric):
         precision: str | None = "default",
         conv_dtype=None,
         host_chunk: int | None = None,
+        shared_conv: bool = False,
         **kw,
     ):
         super().__init__(sample_rate, **kw)
@@ -73,7 +75,14 @@ class DNSMOS(BaseMetric):
         #: jitted per-chunk net graph instead of a lax.map inside the metric
         #: graph — same results and throughput, a fraction of the compile
         #: cost (useful where XLA compiles are expensive). Single-device only.
+        #: shared-conv fast path: run the conv stack once over the full
+        #: signal instead of once per 89%-overlapping window (~4-9x fewer
+        #: FLOPs; small boundary-context deviation — see
+        #: models/dnsmos_net.py::dnsmos_net_shared). Requires host_chunk.
+        self.shared_conv = shared_conv
         self.host_chunk = host_chunk
+        if shared_conv and host_chunk is None:
+            raise ValueError("shared_conv requires host_chunk (utterances per step)")
         if host_chunk is not None:
             if self.mesh is not None:
                 raise ValueError(
@@ -108,6 +117,54 @@ class DNSMOS(BaseMetric):
             audio = jnp.tile(audio, (1, reps))
         return frame(audio, self.window, self.hop)
 
+    def _run_shared(self, denoised):
+        """Shared-conv plan: (B, T) -> scores, conv stack computed once per
+        signal; utterance-chunked host loop over one jitted graph."""
+        import jax
+        import numpy as np
+
+        t = denoised.shape[1]
+        reps = 1
+        while t * reps < self.window:
+            reps *= 2
+        if reps > 1:
+            denoised = jnp.tile(denoised, (1, reps))
+
+        if not hasattr(self, "_shared_jitted"):
+
+            def shared_fn(audio):
+                num_windows = (audio.shape[1] - self.window) // self.hop + 1
+                return dnsmos_net_shared(
+                    self.params,
+                    audio,
+                    num_windows,
+                    self.hop // 160,
+                    self.precision,
+                    self.conv_dtype,
+                )
+
+            self._shared_jitted = jax.jit(shared_fn)
+
+        batch, chunk = denoised.shape[0], self.host_chunk
+        pad = (-batch) % chunk
+        if pad:
+            denoised = jnp.concatenate([denoised, denoised[:pad]], axis=0)
+        raw = jnp.concatenate(
+            [
+                self._shared_jitted(denoised[i : i + chunk])
+                for i in range(0, denoised.shape[0], chunk)
+            ],
+            axis=0,
+        )[:batch]  # (B, S, 3)
+        raw = np.asarray(jax.block_until_ready(raw), dtype=np.float64)
+        calibrated = POLY_C + POLY_B1 * raw + POLY_B2 * raw**2
+        scores = calibrated.mean(axis=1)
+        return {
+            "SIG": scores[:, 0].astype(np.float32),
+            "BAK": scores[:, 1].astype(np.float32),
+            "OVRL": scores[:, 2].astype(np.float32),
+        }
+
     def _run_prepared(self, clean, denoised):
         if self.host_chunk is None:
             return super()._run_prepared(clean, denoised)
@@ -120,6 +177,8 @@ class DNSMOS(BaseMetric):
             denoised = resample(
                 denoised, self.sample_rate, self.EXPECTED_SAMPLING_RATE
             )
+        if self.shared_conv:
+            return self._run_shared(denoised)
         segments = self._segment_jitted(denoised)
         batch, num_segments = segments.shape[:2]
         windows = segments.reshape(-1, self.window)

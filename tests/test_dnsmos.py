@@ -52,6 +52,19 @@ def test_dnsmos_host_chunking_matches(speech_data):
             assert a[key] == pytest.approx(b[key], abs=1e-5), key
 
 
+def test_dnsmos_shared_conv_close(speech_data):
+    """Shared-conv fast path: conv stack computed once over the full signal.
+    Deviates from exact per-window semantics only through window-boundary
+    context (the exact mode zero-pads each window) — bounded here."""
+    exact = DNSMOS()(None, speech_data["noisy_speech"])
+    shared = DNSMOS(host_chunk=4, shared_conv=True)(
+        None, speech_data["noisy_speech"]
+    )
+    for a, b in zip(exact, shared):
+        for key in a:
+            assert a[key] == pytest.approx(b[key], abs=5e-2), key
+
+
 def test_dnsmos_range(speech_data):
     metric = DNSMOS()
     for r in metric(None, speech_data["noisy_speech"]):
