@@ -51,9 +51,16 @@ def run_worker(names: list[str]) -> list[dict]:
     _configure_jax()
     from fast_speech_enhancement_metrics_tpu.benchmarking.runner import (
         bench_one,
+        calibration_canary,
         make_metrics,
     )
     from fast_speech_enhancement_metrics_tpu.utils.audio import load_audio_data
+
+    # Timing-protocol self check: a matmul whose implied TFLOP/s must stay
+    # below the physical peak of one chip, else the fetch is not syncing and
+    # every number from this process would be a dispatch-latency artifact.
+    canary = calibration_canary()
+    print(f"# {json.dumps({'metric': '_canary', **canary})}", flush=True)
 
     clean, noisy, _ = load_audio_data(DURATION_S, BATCH, SAMPLE_RATE)
     factories = make_metrics(SAMPLE_RATE)
@@ -62,8 +69,14 @@ def run_worker(names: list[str]) -> list[dict]:
     for name in names:
         metric = None
         try:
+            if not canary["canary_ok"]:
+                raise RuntimeError(
+                    f"timing canary measured {canary['canary_tflops']} TFLOP/s "
+                    "(> chip peak): synchronization broken, refusing to report"
+                )
             metric = factories[name]()
             result = bench_one(name, metric, clean, noisy, DURATION_S, TIME_BUDGET_S)
+            result.update(canary)
         except Exception as e:  # keep the suite going; report the failure
             result = {"metric": name, "error": f"{type(e).__name__}: {e}"}
         details.append(result)
