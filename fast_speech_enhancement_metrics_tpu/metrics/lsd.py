@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from fast_speech_enhancement_metrics_tpu.base import BaseMetric
-from fast_speech_enhancement_metrics_tpu.ops.stft import spectrogram
+from fast_speech_enhancement_metrics_tpu.ops.dft import framed_spectrogram
 
 
 class LSD(BaseMetric):
@@ -41,8 +41,12 @@ class LSD(BaseMetric):
         denoised = denoised * scale
 
         speech = jnp.concatenate([clean, denoised], axis=0)
-        # magnitude spectrogram, frames-major: (2B, F_frames, nfft//2+1)
-        mag = spectrogram(speech, self.nfft, self.hop, center=True, power=1.0)
+        # magnitude spectrogram, frames-major: (2B, F_frames, nfft//2+1),
+        # computed as MXU matmuls with framing fused away (ops/dft.py)
+        mag = framed_spectrogram(
+            speech, self.nfft, self.hop, center=True, power=1.0,
+            precision="highest",
+        )
         c, d = mag[:batch], mag[batch:]
 
         log_ratio = jnp.log(jnp.square(c) / jnp.square(d + self.eps) + self.eps)

@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fast_speech_enhancement_metrics_tpu.base import BaseMetric
+from fast_speech_enhancement_metrics_tpu.ops.dft import framed_rdft
 from fast_speech_enhancement_metrics_tpu.ops.stft import frame as frame_op
 from fast_speech_enhancement_metrics_tpu.ops.stft import hann_window
 
@@ -121,11 +122,13 @@ class STOI(BaseMetric):
 
     def _band_envelopes(self, speech, lengths):
         """(2B, T') -> sqrt third-octave band energies (2B, F_spec, 15), masked."""
-        frames = frame_op(speech, self.n_fft, self.hop) * jnp.asarray(
-            self.stft_window
+        # MXU framed DFT with the 256-tap window center-padded to 512
+        # (torch.stft rule); framing fused into the matmuls (ops/dft.py)
+        re, im = framed_rdft(
+            speech, self.n_fft, self.hop, window=self.stft_window,
+            precision="highest",
         )
-        spec = jnp.fft.rfft(frames, axis=-1)
-        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # (2B, F_spec, 257)
+        power = re * re + im * im  # (2B, F_spec, 257)
 
         spec_lengths = 1 + (lengths - self.n_fft) // self.hop
         t_idx = jnp.arange(power.shape[1])

@@ -1,0 +1,145 @@
+"""MXU-native framed real DFT.
+
+On TPU, XLA's FFT runs far from the hardware's speed of light for the
+short framed transforms every metric here uses (measured on one v5e chip,
+batch 64 x 16 s audio: a 512-point framed ``jnp.fft.rfft`` costs ~8 ms
+while the same transform as an MXU matmul costs ~2.5-3 ms — and the
+explicit framing step itself (~2 ms of copies) can be fused away
+entirely). At n_fft = 512 a DFT-as-matmul is (frames, 512) @ (512, 514):
+squarely in the systolic array's sweet spot, and XLA fuses the windowing
+and magnitude epilogues for free.
+
+Framing fusion: with hop h dividing n_fft = k*h, frame f is the
+concatenation of hop-chunks [f, f+1, .., f+k-1] of the signal — so the
+framed DFT ``frames @ W`` factors into a sum of k matmuls on *shifted
+views* of the zero-copy (T//h, h) chunk reshape:
+
+    Y[f] = sum_i chunks[f + i] @ W[i*h : (i+1)*h]
+
+No (frames, n_fft) tensor is ever materialized; the window folds into the
+rows of W at trace time.
+
+The reference reaches the same spectra through ``torch.stft`` /
+``torchaudio.Spectrogram`` on cuFFT (reference: fast_se_metrics/LSD.py:18-30,
+STOI.py:49-69, PESQ.py:63-71); this module is the TPU-first re-design, not
+a port. Numerics: the DFT matrix is built in float64 and applied at the
+caller's matmul ``precision`` — "highest" keeps magnitudes within ~1e-6
+relative of an FFT, well inside every metric's agreement contract.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from fast_speech_enhancement_metrics_tpu.ops.stft import hann_window, num_frames
+
+
+@functools.lru_cache(maxsize=None)
+def _rdft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n_fft, n_bins) cos / -sin matrices of the one-sided real DFT.
+
+    Computed in float64, returned as float32: ``x @ cos`` is Re(rfft(x)),
+    ``x @ sin`` is Im(rfft(x)).
+    """
+    n_bins = n_fft // 2 + 1
+    t = np.arange(n_fft, dtype=np.float64)[:, None]
+    f = np.arange(n_bins, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * t * f / n_fft
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _windowed_rdft_matrices(
+    n_fft: int, win_length: int | None, window_key: object
+) -> tuple[np.ndarray, np.ndarray]:
+    """DFT matrices with the analysis window folded into their rows."""
+    cos, sin = _rdft_matrices(n_fft)
+    if window_key is None:
+        w = hann_window(win_length or n_fft).astype(np.float64)
+        if len(w) < n_fft:  # torch.stft center-pads the window
+            left = (n_fft - len(w)) // 2
+            w = np.pad(w, (left, n_fft - len(w) - left))
+    else:
+        w = np.asarray(window_key, dtype=np.float64)
+        assert w.shape == (n_fft,)
+    return (cos * w[:, None]).astype(np.float32), (sin * w[:, None]).astype(
+        np.float32
+    )
+
+
+def framed_rdft(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    win_length: int | None = None,
+    center: bool = False,
+    window: np.ndarray | None = None,
+    precision: str = "highest",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed framed real DFT of (..., T) -> (re, im), each (..., F, n_bins).
+
+    Same spectra as ``ops.stft.stft`` (torch.stft semantics, frames-major
+    layout) but computed on the MXU with framing fused into the matmuls.
+    Requires ``hop`` to divide ``n_fft`` (every metric here uses 50 % or
+    25 % overlap); asserts otherwise.
+    """
+    assert n_fft % hop == 0, "framed_rdft requires hop | n_fft"
+    window_key = None if window is None else tuple(np.asarray(window).tolist())
+    cos, sin = _windowed_rdft_matrices(n_fft, win_length, window_key)
+
+    if center:
+        pad = n_fft // 2
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)])
+
+    t = x.shape[-1]
+    f = num_frames(t, n_fft, hop)
+    if f <= 0:
+        shape = x.shape[:-1] + (0, n_fft // 2 + 1)
+        return jnp.zeros(shape, x.dtype), jnp.zeros(shape, x.dtype)
+
+    k = n_fft // hop
+    n_chunks = f + k - 1
+    usable = n_chunks * hop
+    if usable > t:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, usable - t)])
+    chunks = x[..., :usable].reshape(x.shape[:-1] + (n_chunks, hop))
+
+    re = im = None
+    for i in range(k):
+        part = chunks[..., i : i + f, :]
+        wc = jnp.asarray(cos[i * hop : (i + 1) * hop])
+        ws = jnp.asarray(sin[i * hop : (i + 1) * hop])
+        re_i = jnp.einsum("...fh,hn->...fn", part, wc, precision=precision)
+        im_i = jnp.einsum("...fh,hn->...fn", part, ws, precision=precision)
+        re = re_i if re is None else re + re_i
+        im = im_i if im is None else im + im_i
+    return re, im
+
+
+def framed_spectrogram(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    win_length: int | None = None,
+    center: bool = False,
+    power: float = 2.0,
+    window: np.ndarray | None = None,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Magnitude (power=1) / power (power=2) spectrogram on the MXU.
+
+    Drop-in for ``ops.stft.spectrogram`` wherever hop divides n_fft.
+    """
+    re, im = framed_rdft(
+        x, n_fft, hop, win_length=win_length, center=center, window=window,
+        precision=precision,
+    )
+    mag_sq = re * re + im * im
+    if power == 2.0:
+        return mag_sq
+    if power == 1.0:
+        return jnp.sqrt(mag_sq)
+    return mag_sq ** (power / 2.0)

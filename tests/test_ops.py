@@ -100,3 +100,35 @@ def test_toeplitz_solve():
     for i in range(4):
         expected = np.linalg.solve(r0[i][idx].astype(np.float64), b[i].astype(np.float64))
         np.testing.assert_allclose(sol[i], expected, atol=1e-3)
+
+
+def test_framed_rdft_matches_fft():
+    """MXU DFT path (ops/dft.py) agrees with the FFT path bin-for-bin."""
+    from fast_speech_enhancement_metrics_tpu.ops import dft
+
+    x = np.random.RandomState(7).randn(3, 4000).astype(np.float32)
+    for n_fft, hop, center in [(512, 256, True), (512, 128, False), (256, 128, False)]:
+        z = np.asarray(stft.stft(x, n_fft, hop, center=center))
+        re, im = dft.framed_rdft(x, n_fft, hop, center=center, precision="highest")
+        np.testing.assert_allclose(np.asarray(re), z.real, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(im), z.imag, atol=2e-4)
+
+
+def test_framed_rdft_custom_window_and_magnitude():
+    from fast_speech_enhancement_metrics_tpu.ops import dft
+
+    x = np.random.RandomState(8).randn(2, 3000).astype(np.float32)
+    win = np.pad(stft.hann_window(257)[1:], (128, 128))  # STOI's padded window
+    want = np.abs(np.asarray(stft.stft(x, 512, 128, window=win)))
+    got = np.asarray(
+        dft.framed_spectrogram(x, 512, 128, window=win, power=1.0, precision="highest")
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_framed_rdft_short_input():
+    from fast_speech_enhancement_metrics_tpu.ops import dft
+
+    x = np.zeros((2, 100), np.float32)  # shorter than one frame
+    re, im = dft.framed_rdft(x, 512, 256)
+    assert re.shape == (2, 0, 257) and im.shape == (2, 0, 257)
