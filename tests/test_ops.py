@@ -132,3 +132,52 @@ def test_framed_rdft_short_input():
     x = np.zeros((2, 100), np.float32)  # shorter than one frame
     re, im = dft.framed_rdft(x, 512, 256)
     assert re.shape == (2, 0, 257) and im.shape == (2, 0, 257)
+
+
+def test_correlation_lags_matches_fft():
+    """Block-DFT overlap-save correlation equals the zero-padded FFT one."""
+    from fast_speech_enhancement_metrics_tpu.ops import dft
+
+    rs = np.random.RandomState(9)
+    for t, n_lags in [(4000, 512), (4096, 512), (1000, 128), (300, 512)]:
+        c = rs.randn(3, t).astype(np.float32)
+        d = rs.randn(3, t).astype(np.float32)
+        n_fft = 1 << int(np.ceil(np.log2(2 * t - 1)))
+        cf = np.fft.rfft(c, n_fft)
+        df = np.fft.rfft(d, n_fft)
+        want_r0 = np.fft.irfft(np.abs(cf) ** 2, n_fft)[:, :n_lags]
+        want_b = np.fft.irfft(np.conj(cf) * df, n_fft)[:, :n_lags]
+        r0, b = dft.correlation_lags(c, (c, d), n_lags, precision="highest")
+        scale = np.abs(want_r0).max()
+        np.testing.assert_allclose(np.asarray(r0), want_r0, atol=2e-4 * scale)
+        np.testing.assert_allclose(np.asarray(b), want_b, atol=2e-4 * scale)
+
+
+def test_levinson_matches_direct_solve():
+    from scipy.linalg import solve_toeplitz
+
+    from fast_speech_enhancement_metrics_tpu.ops.toeplitz import levinson_solve
+
+    rs = np.random.RandomState(11)
+    n = 64
+    # SPD Toeplitz rows: decaying autocorrelation with varied scales
+    lags = np.arange(n)
+    r = (0.9 ** lags)[None] * rs.uniform(0.5, 20.0, (5, 1))
+    r = r + 0.01 * rs.randn(5, n) * r[:, :1]
+    r[:, 0] = np.abs(r[:, 0]) + 1.0
+    b = rs.randn(5, n).astype(np.float32)
+    got = np.asarray(levinson_solve(r.astype(np.float32), b))
+    for i in range(5):
+        want = solve_toeplitz(r[i], b[i].astype(np.float64))
+        np.testing.assert_allclose(got[i], want, rtol=2e-3, atol=2e-3 * np.abs(want).max())
+
+
+def test_sdr_levinson_vs_cholesky_consistency():
+    from fast_speech_enhancement_metrics_tpu import SDR
+
+    rs = np.random.RandomState(12)
+    clean = rs.randn(4, 16000).astype(np.float32)
+    noisy = clean + 0.3 * rs.randn(4, 16000).astype(np.float32)
+    lev = np.array([d["SDR"] for d in SDR()(clean, noisy)])
+    cho = np.array([d["SDR"] for d in SDR(solver="cholesky")(clean, noisy)])
+    np.testing.assert_allclose(lev, cho, atol=5e-3)
