@@ -12,7 +12,7 @@ aggregation, and the P.862 logistic MOS mapping.
 TPU design decisions (none of this mirrors the reference's implementation):
 
 * both IIR filters (5th-order Butterworth band-pass, pre-emphasis biquad) run
-  as frequency-domain multiplies over one big rFFT (see ops/iir.py) — no
+  as truncated-impulse FIR block matmuls on the MXU (see ops/iir.py) — no
   sequential recursion anywhere in the graph,
 * the clean/denoised pair rides a doubled batch axis (2B) through the filter +
   STFT + Bark + loudness pipeline so XLA sees one kernel chain,
@@ -30,9 +30,9 @@ from scipy.signal import butter
 
 from fast_speech_enhancement_metrics_tpu.base import BaseMetric
 from fast_speech_enhancement_metrics_tpu.ops.bark import bark_constants
-from fast_speech_enhancement_metrics_tpu.ops.iir import lfilter_fft
+from fast_speech_enhancement_metrics_tpu.ops.dft import framed_spectrogram
+from fast_speech_enhancement_metrics_tpu.ops.iir import lfilter_fir
 from fast_speech_enhancement_metrics_tpu.ops.stft import frame as frame_op
-from fast_speech_enhancement_metrics_tpu.ops.stft import spectrogram
 
 #: pre-emphasis biquad from the ITU reference (fast_se_metrics/PESQ.py:84-88)
 PRE_EMPHASIS_B = (2.740826, -5.4816519, 2.740826)
@@ -70,7 +70,7 @@ class PESQ(BaseMetric):
 
     def _align_level(self, speech):
         """Scale so the 325–3250 Hz band power is 1e7 (P.862 level alignment)."""
-        filtered = lfilter_fft(speech, self.power_filter[0], self.power_filter[1])
+        filtered = lfilter_fir(speech, self.power_filter[0], self.power_filter[1])
         power = jnp.sum(jnp.square(filtered), axis=1, keepdims=True)
         power = power / (speech.shape[1] + 5120) / 1.04684
         return speech * jnp.sqrt(1e7 / power)
@@ -81,7 +81,7 @@ class PESQ(BaseMetric):
         edge = jnp.ones((t,), dtype=speech.dtype)
         edge = edge.at[:15].set(taper).at[-15:].set(taper[::-1])
         speech = speech * edge
-        return lfilter_fft(speech, PRE_EMPHASIS_B, PRE_EMPHASIS_A)
+        return lfilter_fir(speech, PRE_EMPHASIS_B, PRE_EMPHASIS_A)
 
     # -- spectral path --------------------------------------------------------
 
@@ -95,7 +95,10 @@ class PESQ(BaseMetric):
         if pad_amount > 0:
             speech = jnp.pad(speech, ((0, 0), (0, pad_amount)))
 
-        power = spectrogram(speech, self.n_fft, self.hop, center=False, power=2.0)
+        power = framed_spectrogram(
+            speech, self.n_fft, self.hop, center=False, power=2.0,
+            precision="highest",
+        )
         # drop the energy (DC) feature; pool bins 1..255 onto Bark bands
         power = power.at[:, :, 0].set(0.0)
         bark = jnp.einsum(

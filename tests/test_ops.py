@@ -181,3 +181,25 @@ def test_sdr_levinson_vs_cholesky_consistency():
     lev = np.array([d["SDR"] for d in SDR()(clean, noisy)])
     cho = np.array([d["SDR"] for d in SDR(solver="cholesky")(clean, noisy)])
     np.testing.assert_allclose(lev, cho, atol=5e-3)
+
+
+def test_lfilter_fir_matches_scipy():
+    from fast_speech_enhancement_metrics_tpu.ops.iir import lfilter_fir
+
+    rs = np.random.RandomState(13)
+    x = rs.randn(3, 5000).astype(np.float32)
+    b, a = butter(5, [325, 3250], fs=16000, btype="band")
+    want = lfilter(b, a, x.astype(np.float64), axis=-1)
+    got = np.asarray(lfilter_fir(x, tuple(b), tuple(a)))
+    np.testing.assert_allclose(got, want, atol=5e-6 * np.abs(want).max())
+    # pre-emphasis biquad
+    pb = (2.740826, -5.4816519, 2.740826)
+    pa = (1.0, -1.9444777, 0.94597794)
+    want = lfilter(pb, pa, x.astype(np.float64), axis=-1)
+    got = np.asarray(lfilter_fir(x, pb, pa))
+    np.testing.assert_allclose(got, want, atol=5e-6 * np.abs(want).max())
+    # length not a multiple of the block
+    x2 = rs.randn(2, 4999).astype(np.float32)
+    want = lfilter(pb, pa, x2.astype(np.float64), axis=-1)
+    got = np.asarray(lfilter_fir(x2, pb, pa))
+    np.testing.assert_allclose(got, want, atol=5e-6 * np.abs(want).max())
