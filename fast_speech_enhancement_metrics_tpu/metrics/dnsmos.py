@@ -147,8 +147,11 @@ class DNSMOS(BaseMetric):
 
         batch, chunk = denoised.shape[0], self.host_chunk
         pad = (-batch) % chunk
-        if pad:
-            denoised = jnp.concatenate([denoised, denoised[:pad]], axis=0)
+        if pad:  # tile rows so any chunk > 2B still pads to a chunk multiple
+            reps = -(-pad // batch)
+            denoised = jnp.concatenate([denoised] + [denoised] * reps, axis=0)[
+                : batch + pad
+            ]
         raw = jnp.concatenate(
             [
                 self._shared_jitted(denoised[i : i + chunk])
@@ -184,8 +187,11 @@ class DNSMOS(BaseMetric):
         windows = segments.reshape(-1, self.window)
         chunk = self.host_chunk
         pad = (-windows.shape[0]) % chunk
-        if pad:
-            windows = jnp.concatenate([windows, windows[:pad]], axis=0)
+        if pad:  # tile rows so any chunk > 2N still pads to a chunk multiple
+            reps = -(-pad // windows.shape[0])
+            windows = jnp.concatenate([windows] + [windows] * reps, axis=0)[
+                : windows.shape[0] + pad
+            ]
         raw = jnp.concatenate(
             [
                 self._net_jitted(windows[i : i + chunk])

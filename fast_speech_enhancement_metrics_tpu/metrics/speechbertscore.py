@@ -141,11 +141,18 @@ class SpeechBERTScore(BaseMetric):
             denoised = resample(denoised, self.sample_rate, self.EXPECTED_SAMPLING_RATE)
 
         impl = self._resolve_impl(denoised.shape[1])
-        if not hasattr(self, "_encode_jitted"):
+        # cache the jitted encoder per resolved attention impl — a later call
+        # whose length crosses the auto threshold must not reuse a stale impl
+        if not hasattr(self, "_encode_jitted_by_impl"):
             import jax
 
-            self._encode_jitted = jax.jit(
-                lambda a: hubert_hidden_state(
+            self._encode_jitted_by_impl = {}
+            self._f1_jitted = jax.jit(self._f1_from_embeddings)
+        if impl not in self._encode_jitted_by_impl:
+            import jax
+
+            self._encode_jitted_by_impl[impl] = jax.jit(
+                lambda a, impl=impl: hubert_hidden_state(
                     self.params,
                     a,
                     self.config,
@@ -154,16 +161,17 @@ class SpeechBERTScore(BaseMetric):
                     attention_impl=impl,
                 )
             )
-            self._f1_jitted = jax.jit(self._f1_from_embeddings)
+        encode_jitted = self._encode_jitted_by_impl[impl]
 
         speech = jnp.concatenate([clean, denoised], axis=0)
         n, chunk = speech.shape[0], self.host_chunk
         pad = (-n) % chunk
-        if pad:
-            speech = jnp.concatenate([speech, speech[:pad]], axis=0)
+        if pad:  # tile rows so any chunk > 2n still pads to a chunk multiple
+            reps = -(-pad // n)
+            speech = jnp.concatenate([speech] + [speech] * reps, axis=0)[: n + pad]
         emb = jnp.concatenate(
             [
-                self._encode_jitted(speech[i : i + chunk])
+                encode_jitted(speech[i : i + chunk])
                 for i in range(0, speech.shape[0], chunk)
             ],
             axis=0,

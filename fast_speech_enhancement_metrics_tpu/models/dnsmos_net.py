@@ -69,6 +69,8 @@ def _log_power_features(params, audio, precision):
 
 
 def _conv_layer(params, x, n, precision):
+    in_dtype = x.dtype  # conv output is fp32 (preferred_element_type); keep
+    # the activation stream in the caller's dtype so bf16 mode stays bf16
     x = lax.conv_general_dilated(
         x,
         params[f"conv{n}_w"].astype(x.dtype),
@@ -80,7 +82,7 @@ def _conv_layer(params, x, n, precision):
         precision=precision,
         preferred_element_type=jnp.float32,
     )
-    return jnp.maximum(x + params[f"conv{n}_b"], 0.0).astype(x.dtype)
+    return jnp.maximum(x + params[f"conv{n}_b"], 0.0).astype(in_dtype)
 
 
 def _output_mlp(params, pooled):
