@@ -21,6 +21,25 @@ def test_stoi_all_silent_warns_and_returns_zero():
         assert np.isfinite(r["STOI"]) and np.isfinite(r["ESTOI"])
 
 
+def test_stoi_mostly_silent_long_input_warns_and_returns_zero():
+    """A long input whose silent-frame removal leaves too few frames for even
+    one 30-frame segment must score exactly 0.0 with the reference's runtime
+    warning (fast_se_metrics/STOI.py:163-165) — the *dynamic* contract, which
+    the static input-length guard cannot catch."""
+    rng = np.random.RandomState(3)
+    # one loud burst, everything else 120 dB quieter -> only a handful of
+    # frames survive the 40 dB dynamic-range cut
+    clean = np.full((2, 160000), 1e-7, dtype=np.float32)
+    clean[:, :2000] = rng.randn(2, 2000).astype(np.float32)
+    noisy = clean + 1e-9 * rng.randn(2, 160000).astype(np.float32)
+    metric = STOI(sample_rate=16000)
+    with pytest.warns(RuntimeWarning, match="non-silent"):
+        results = metric(clean, noisy)
+    for r in results:
+        assert r["STOI"] == 0.0
+        assert r["ESTOI"] == 0.0
+
+
 def test_bark_interp_matches_scipy():
     """interp_table must match the reference's scipy interp1d resampling."""
     from scipy import interpolate
