@@ -46,6 +46,9 @@ class BaseMetric(abc.ABC):
     EXPECTED_SAMPLING_RATE: int
     #: metric consumes only the denoised signal (non-intrusive, e.g. DNSMOS)
     NON_INTRUSIVE: bool = False
+    #: matmul precision for the fused input resample; metrics whose agreement
+    #: contract has headroom may override with "high" (bf16x3, ~1e-6 rel)
+    RESAMPLE_PRECISION: str = "highest"
 
     def __init__(
         self,
@@ -93,9 +96,14 @@ class BaseMetric(abc.ABC):
 
     def _compute_resampled(self, clean, denoised):
         if self.sample_rate != self.EXPECTED_SAMPLING_RATE:
+            prec = self.RESAMPLE_PRECISION
             if clean is not None:
-                clean = resample(clean, self.sample_rate, self.EXPECTED_SAMPLING_RATE)
-            denoised = resample(denoised, self.sample_rate, self.EXPECTED_SAMPLING_RATE)
+                clean = resample(
+                    clean, self.sample_rate, self.EXPECTED_SAMPLING_RATE, prec
+                )
+            denoised = resample(
+                denoised, self.sample_rate, self.EXPECTED_SAMPLING_RATE, prec
+            )
         return self._compute(clean, denoised)
 
     # -- compute ------------------------------------------------------------

@@ -50,24 +50,71 @@ def sinc_resample_kernel(
     return kernel.astype(np.float32), width, orig, new
 
 
-def resample(x: jnp.ndarray, orig_freq: int, new_freq: int, **kw) -> jnp.ndarray:
-    """Resample (..., T) from orig_freq to new_freq. No-op if rates match."""
+@functools.lru_cache(maxsize=None)
+def _block_resample_matrix(
+    orig_freq: int, new_freq: int, lowpass_filter_width: int = 6,
+    rolloff: float = 0.99,
+) -> tuple[np.ndarray, int, int, int, int]:
+    """Fold ``bs`` polyphase frames into one MXU-sized block matrix.
+
+    The naive polyphase form is a (frames, K) x (K, phases) matmul with a
+    skinny K (e.g. 28 for 16 kHz -> 10 kHz) that wastes the systolic array
+    and materializes a K-times-blown-up frame tensor. Instead, process
+    ``bs*orig`` input samples -> ``bs*new`` output samples per block with
+    one (n_sub*in_blk, out_blk) matrix: M[i, q] = kernel[q % new, i - orig*(q
+    // new)]. Applied as ``n_sub`` matmuls on shifted views of the zero-copy
+    block reshape — no frame materialization at all.
+    """
+    kernel, width, orig, new = sinc_resample_kernel(
+        orig_freq, new_freq, lowpass_filter_width, rolloff
+    )
+    k = kernel.shape[1]
+    bs = max(1, -(-128 // orig))  # input block >= 128 samples
+    in_blk = bs * orig
+    out_blk = bs * new
+    span = orig * (bs - 1) + k  # input samples touched by one output block
+    n_sub = -(-span // in_blk)
+    m = np.zeros((n_sub * in_blk, out_blk), np.float64)
+    for q in range(out_blk):
+        p, f = q % new, q // new
+        m[orig * f : orig * f + k, q] = kernel[p]
+    return m.astype(np.float32), width, orig, new, bs, k
+
+
+def resample(
+    x: jnp.ndarray,
+    orig_freq: int,
+    new_freq: int,
+    precision: str = "highest",
+    **kw,
+) -> jnp.ndarray:
+    """Resample (..., T) from orig_freq to new_freq. No-op if rates match.
+
+    ``precision`` feeds the block matmuls: "highest" is fp32-exact; "high"
+    (bf16x3, ~1e-6 relative) halves MXU passes for metrics whose agreement
+    contract has the headroom (STOI's abs 5e-4)."""
     if orig_freq == new_freq:
         return x
-    kernel, width, orig, new = sinc_resample_kernel(orig_freq, new_freq, **kw)
+    m, width, orig, new, bs, k = _block_resample_matrix(orig_freq, new_freq, **kw)
     t = x.shape[-1]
     target_length = -(-new * t // orig)  # ceil
 
-    pad = [(0, 0)] * (x.ndim - 1) + [(width, width + orig)]
+    in_blk, out_blk = bs * orig, bs * new
+    n_sub = m.shape[0] // in_blk
+    # frame count matches the classic polyphase form (pad width left,
+    # width + orig right); blocks round up so every shifted chunk view exists
+    f_total = 1 + (t + 2 * width + orig - k) // orig
+    c_blocks = -(-f_total // bs)
+    need = (c_blocks + n_sub - 1) * in_blk
+    pad = [(0, 0)] * (x.ndim - 1) + [(width, need - t - width)]
     xp = jnp.pad(x, pad)
-    k = kernel.shape[1]
-    f = 1 + (xp.shape[-1] - k) // orig
-    frames = frame(xp, k, orig)  # (..., F, K) — gather-free framing
-    out = jnp.einsum(
-        "...fk,pk->...fp",
-        frames,
-        jnp.asarray(kernel, dtype=x.dtype),
-        precision="highest",
-    )
-    out = out.reshape(x.shape[:-1] + (f * new,))
+    chunks = xp.reshape(x.shape[:-1] + (c_blocks + n_sub - 1, in_blk))
+
+    out = None
+    for s in range(n_sub):
+        part = chunks[..., s : s + c_blocks, :]
+        ms = jnp.asarray(m[s * in_blk : (s + 1) * in_blk], dtype=x.dtype)
+        o_s = jnp.einsum("...ci,iq->...cq", part, ms, precision=precision)
+        out = o_s if out is None else out + o_s
+    out = out.reshape(x.shape[:-1] + (c_blocks * out_blk,))
     return out[..., :target_length]
