@@ -11,7 +11,28 @@ from __future__ import annotations
 
 import numpy as np
 
-from fast_speech_enhancement_metrics_tpu.metrics.stoi import third_octave_band_matrix
+
+def _thirdoct(fs: int = 10000, nfft: int = 512, num_bands: int = 15,
+              min_freq: float = 150.0) -> np.ndarray:
+    """1/3-octave band matrix, derived independently of the package.
+
+    Follows the published pystoi ``thirdoct`` convention (Taal et al. 2011,
+    eq. 1 band edges): bin grid ``linspace(0, fs, nfft+1)`` truncated to the
+    one-sided spectrum, band edges ``min_freq * 2**((2k -/+ 1)/6)`` snapped
+    to the nearest bin by squared distance. Kept free of any import from
+    ``fast_speech_enhancement_metrics_tpu`` so a shared misreading of the
+    edge-rounding convention cannot cancel out in the agreement tests.
+    """
+    f = np.linspace(0, fs, nfft + 1)[: nfft // 2 + 1]
+    k = np.arange(num_bands, dtype=np.float64)
+    freq_low = min_freq * 2.0 ** ((2 * k - 1) / 6)
+    freq_high = min_freq * 2.0 ** ((2 * k + 1) / 6)
+    obm = np.zeros((num_bands, len(f)))
+    for i in range(num_bands):
+        lo = int(np.argmin(np.square(f - freq_low[i])))
+        hi = int(np.argmin(np.square(f - freq_high[i])))
+        obm[i, lo:hi] = 1.0
+    return obm
 
 
 def _hann_asym(n: int) -> np.ndarray:
@@ -47,7 +68,7 @@ def _stoi_single(clean: np.ndarray, denoised: np.ndarray) -> tuple[float, float]
     n_spec = 1 + (length - n_fft) // hop
     if n_spec < 1:
         return 0.0, 0.0
-    obm = third_octave_band_matrix().astype(np.float64)
+    obm = _thirdoct()
 
     def tob(sig):
         fr = np.stack([sig[i * hop : i * hop + n_fft] for i in range(n_spec)]) * wpad
