@@ -125,7 +125,38 @@ def run_orchestrator(names: list[str]) -> list[dict]:
     return details
 
 
+def run_mesh_mode(n_devices: int) -> None:
+    """Virtual-mesh work-division check (VERDICT r1 item 7): all six metrics
+    data-parallel over an N-device CPU mesh, physical shard sizes verified."""
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from fast_speech_enhancement_metrics_tpu.benchmarking.mesh_check import (
+        run_mesh_check,
+    )
+
+    report = run_mesh_check(n_devices)
+    print(
+        json.dumps(
+            {
+                "metric": "mesh_work_division_ok",
+                "value": 1 if report["ok"] else 0,
+                "unit": "bool",
+                "vs_baseline": 1 if report["ok"] else 0,
+            }
+        )
+    )
+
+
 def main() -> None:
+    mesh_n = os.environ.get("FSEM_BENCH_MESH")
+    if mesh_n:
+        run_mesh_mode(int(mesh_n))
+        return
     selected = os.environ.get("FSEM_BENCH_METRICS")
     if selected:
         run_worker(selected.split(","))

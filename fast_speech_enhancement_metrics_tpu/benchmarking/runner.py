@@ -17,19 +17,29 @@ round-trip (dispatch + result fetch) costs ~8-25 ms of pure RPC latency
 Two measurements are therefore reported per metric:
 
 * ``audio_seconds_per_s`` (headline) — device throughput: ``lax.scan`` the
-  metric over SCAN_K differently-scaled copies of the batch inside ONE
-  jitted graph, fetch the (K, B) score stack once. All K evaluations are
-  forced by the fetch; the RPC cost is amortized 1/K. This is also how a
-  production TPU pipeline would run (device-resident data, no per-batch
-  host sync).
+  metric over SCAN_K evaluations inside ONE jitted graph, fetch the (K, B)
+  score stack once. All K evaluations are forced by the fetch; the RPC cost
+  is amortized 1/K. This is also how a production TPU pipeline would run
+  (device-resident data, no per-batch host sync).
 * ``per_call_ms`` — single-dispatch latency including the environment's
   RPC round-trip, i.e. what one blocking ``metric(batch)`` call costs from
   this host. ``fetch_overhead_ms`` (a no-op round-trip) is reported so the
   two can be reconciled.
 
-A calibration canary (in-graph chain of dependent matmuls, same fetch
-protocol) must stay below the physical peak of one chip or the suite
-refuses to report.
+Scan-body integrity: a *multiplicative* per-iteration perturbation
+(``input * s_k``) measured identically to a loop-carried variant in a
+controlled probe (tools/prof_scan_hoist.py — no XLA hoisting observed),
+but XLA's algebraic simplifier is in principle allowed to commute scalar
+multiplies through the linear front-end (``dot(s*x, w) -> s*dot(x, w)``)
+and then hoist the loop-invariant matmuls. Defense in depth: each
+iteration's input is a **circular shift of the audio by an amount derived
+from the previous iteration's scores** — data-dependent, so nothing is
+algebraically removable and the loop-carried dependency serializes all K
+evaluations — and each dispatch is seeded with a fresh shift so no two
+dispatches are byte-identical (rules out any relay-level result caching).
+A calibration canary with statically known FLOPs runs through the SAME
+scanned-runner code path and must stay below the chip's physical peak or
+the suite refuses to report.
 """
 
 from __future__ import annotations
@@ -148,42 +158,91 @@ def calibration_canary() -> dict:
         np.asarray(tiny(out))
     overhead_ms = (time.perf_counter() - t0) / 10 * 1e3
 
+    scan_tflops = _scanned_protocol_canary()
+
     return {
         "canary_tflops": round(float(tflops), 1),
-        "canary_ok": bool(tflops <= 1.1 * V5E_PEAK_TFLOPS),
+        "canary_scan_tflops": round(float(scan_tflops), 1),
+        "canary_ok": bool(
+            tflops <= 1.1 * V5E_PEAK_TFLOPS
+            and scan_tflops <= 1.1 * V5E_PEAK_TFLOPS
+        ),
         "canary_checksum": float(out[0, 0]),
         "fetch_overhead_ms": round(float(overhead_ms), 2),
     }
+
+
+def _scanned_protocol_canary(batch: int = 8, n: int = 1024, chain: int = 8) -> float:
+    """Known-FLOPs workload pushed through the EXACT scanned-runner protocol
+    (``_scanned``): audio-shaped input, bf16 matmul chain, (B,) scores. The
+    implied TFLOP/s must stay below the chip's bf16 peak — if the scan body
+    were hoisted/cached/not synchronized, this inflates past physical peak
+    and the suite refuses to report."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    noisy = jnp.asarray(
+        np.random.default_rng(7).standard_normal((batch, n * n // batch)),
+        dtype=jnp.float32,
+    )
+
+    def compute(_, sig):
+        x = sig.reshape(n, n).astype(jnp.bfloat16)
+        y = x
+        for _ in range(chain):
+            y = (y @ x) * jnp.bfloat16(1.0 / n)
+        return {"canary": jnp.mean(y.astype(jnp.float32).reshape(batch, -1), axis=1)}
+
+    runner = _scanned(compute, intrusive=False)
+    np.asarray(runner(None, noisy, 0)["canary"])  # compile + warm
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = np.asarray(runner(None, noisy, 1 + i)["canary"])
+    elapsed = time.perf_counter() - t0
+    assert out.shape == (SCAN_K, batch)
+    return reps * SCAN_K * chain * 2 * n**3 / elapsed / 1e12
 
 
 #: batches evaluated per dispatch in the scanned (device-throughput) protocol
 SCAN_K = 32
 
 
-def _make_scanned_runner(metric):
-    """One jitted graph that evaluates the metric on SCAN_K differently-scaled
-    copies of the batch via ``lax.scan``. The per-iteration scale enters the
-    data path before everything else, so XLA cannot hoist the body; a single
-    host fetch of the stacked (K, B) scores forces all K evaluations."""
+def _scanned(compute, intrusive: bool):
+    """One jitted graph: SCAN_K evaluations of ``compute(clean, noisy)`` via
+    ``lax.scan``, each on a circular shift of the audio whose amount derives
+    from the previous iteration's scores (module docstring: not hoistable,
+    serialized, per-dispatch seeded). A single host fetch of the stacked
+    (K, B) scores forces all K evaluations."""
     import jax
     import jax.numpy as jnp
 
+    @jax.jit
+    def run_k(clean, noisy, seed):
+        def body(shift, _):
+            n = jnp.roll(noisy, shift, axis=-1)
+            c = jnp.roll(clean, shift, axis=-1) if intrusive else None
+            scores = compute(c, n)
+            total = sum(
+                jnp.sum(v.astype(jnp.float32)) for v in scores.values()
+            )
+            nxt = (jnp.mod(jnp.abs(total) * 1e4, 127.0)).astype(jnp.int32) + 1
+            return nxt, scores
+
+        _, outs = jax.lax.scan(body, seed, None, length=SCAN_K)
+        return outs
+
+    import numpy as np
+
+    return lambda c, n, seed: run_k(c, n, np.int32(seed))
+
+
+def _make_scanned_runner(metric):
     from fast_speech_enhancement_metrics_tpu.base import BaseMetric
 
     if type(metric)._run_prepared is not BaseMetric._run_prepared:
         return None  # host-orchestrated plans (DNSMOS/SBS) time per-call
-
-    @jax.jit
-    def run_k(clean, noisy, scales):
-        def body(_, s):
-            c = None if clean is None else clean * s
-            return None, metric._compute_resampled(c, noisy * s)
-
-        _, outs = jax.lax.scan(body, None, scales)
-        return outs
-
-    scales = jnp.linspace(1.0, 1.001, SCAN_K)
-    return lambda c, n: run_k(c, n, scales)
+    return _scanned(metric._compute_resampled, not metric.NON_INTRUSIVE)
 
 
 def bench_one(
@@ -222,18 +281,18 @@ def bench_one(
 
     scanned = _make_scanned_runner(metric)
     if scanned is not None:
-        def run_scan():
-            outs = scanned(prepared_clean, prepared_noisy)
+        def run_scan(seed):
+            outs = scanned(prepared_clean, prepared_noisy, seed)
             return {k: np.asarray(v) for k, v in outs.items()}
 
-        run_scan()  # compile + warm
+        run_scan(0)  # compile + warm
         t0 = time.perf_counter()
-        run_scan()
+        run_scan(1)
         per_dispatch = max(time.perf_counter() - t0, 1e-4)
         iters = max(2, int(time_budget_s / per_dispatch))
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = run_scan()
+        for i in range(iters):
+            out = run_scan(2 + i)  # fresh seed: no two dispatches identical
         elapsed = time.perf_counter() - t0
         assert next(iter(out.values())).shape == (SCAN_K, batch)
         batches_timed = iters * SCAN_K
