@@ -55,14 +55,32 @@ def test_dnsmos_host_chunking_matches(speech_data):
 def test_dnsmos_shared_conv_close(speech_data):
     """Shared-conv fast path: conv stack computed once over the full signal.
     Deviates from exact per-window semantics only through window-boundary
-    context (the exact mode zero-pads each window) — bounded here."""
+    context (the exact mode zero-pads each window). Bound: the
+    duration x SNR characterization sweep measured max 0.083/0.100/0.051
+    SIG/BAK/OVRL (results/dnsmos_deviation.md); this fixture asserts inside
+    that envelope with headroom."""
     exact = DNSMOS()(None, speech_data["noisy_speech"])
     shared = DNSMOS(host_chunk=4, shared_conv=True)(
         None, speech_data["noisy_speech"]
     )
     for a, b in zip(exact, shared):
         for key in a:
-            assert a[key] == pytest.approx(b[key], abs=5e-2), key
+            assert a[key] == pytest.approx(b[key], abs=0.12), key
+
+
+def test_dnsmos_bf16_convs_in_reference_fp16_class(speech_data):
+    """conv_dtype=bfloat16 (the benchmark default) must stay in the
+    reference's own reduced-precision deviation class: the sweep in
+    results/dnsmos_deviation.md measured max 0.022/0.016/0.008 SIG/BAK/OVRL
+    vs exact fp32 (reference's published fp16-vs-ONNX deviation: 6e-3)."""
+    import jax.numpy as jnp
+
+    exact = DNSMOS(precision="highest")(None, speech_data["noisy_speech"])
+    fast = DNSMOS(conv_dtype=jnp.bfloat16)(None, speech_data["noisy_speech"])
+    for a, b in zip(exact, fast):
+        assert a["SIG"] == pytest.approx(b["SIG"], abs=0.04)
+        assert a["BAK"] == pytest.approx(b["BAK"], abs=0.04)
+        assert a["OVRL"] == pytest.approx(b["OVRL"], abs=0.02)
 
 
 def test_dnsmos_range(speech_data):
