@@ -210,23 +210,28 @@ SCAN_K = 32
 
 def _scanned(compute, intrusive: bool):
     """One jitted graph: SCAN_K evaluations of ``compute(clean, noisy)`` via
-    ``lax.scan``, each on a circular shift of the audio whose amount derives
-    from the previous iteration's scores (module docstring: not hoistable,
-    serialized, per-dispatch seeded). A single host fetch of the stacked
-    (K, B) scores forces all K evaluations."""
+    ``lax.scan``, each on the audio plus a tiny offset derived from the
+    previous iteration's scores (module docstring: loop-carried so nothing
+    is hoistable and all K evaluations serialize; per-dispatch seeded so no
+    two dispatches are byte-identical). The additive perturbation fuses into
+    the first consumer — a circular-shift variant measured ~2.7 ms/batch of
+    pure data movement, halving reported LSD throughput. A single host
+    fetch of the stacked (K, B) scores forces all K evaluations."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run_k(clean, noisy, seed):
-        def body(shift, _):
-            n = jnp.roll(noisy, shift, axis=-1)
-            c = jnp.roll(clean, shift, axis=-1) if intrusive else None
+        def body(eps, _):
+            n = noisy + eps
+            c = clean + eps if intrusive else None
             scores = compute(c, n)
             total = sum(
                 jnp.sum(v.astype(jnp.float32)) for v in scores.values()
             )
-            nxt = (jnp.mod(jnp.abs(total) * 1e4, 127.0)).astype(jnp.int32) + 1
+            # next offset: score-derived, ~1e-9 of signal scale (perturbs
+            # results below reporting precision but defeats CSE/caching)
+            nxt = jnp.mod(jnp.abs(total), 977.0) * 1e-12 + 1e-12
             return nxt, scores
 
         _, outs = jax.lax.scan(body, seed, None, length=SCAN_K)
@@ -234,7 +239,7 @@ def _scanned(compute, intrusive: bool):
 
     import numpy as np
 
-    return lambda c, n, seed: run_k(c, n, np.int32(seed))
+    return lambda c, n, seed: run_k(c, n, np.float32(1e-12 * (seed + 1)))
 
 
 def _make_scanned_runner(metric):

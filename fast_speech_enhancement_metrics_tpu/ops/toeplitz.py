@@ -72,7 +72,12 @@ def levinson_solve(r0: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         y_new = shift_right(y) + mu * u_new
         return (u_new, v_new, x_new, y_new), None
 
-    (u, v, x, y), _ = jax.lax.scan(step, (u0, v0, x0, y0), b_steps)
+    # unroll: each of the 511 steps is a handful of small (B, n) fused ops,
+    # so per-iteration fixed overhead dominates; unrolling lets XLA fuse
+    # across steps (measured on-chip — see tools/prof_sdr_r2.py)
+    (u, v, x, y), _ = jax.lax.scan(
+        step, (u0, v0, x0, y0), b_steps, unroll=8
+    )
     return x
 
 
