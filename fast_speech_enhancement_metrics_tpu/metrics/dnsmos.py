@@ -33,6 +33,7 @@ from fast_speech_enhancement_metrics_tpu.models.dnsmos_net import (
     DEFAULT_CHECKPOINT,
     dnsmos_net,
     dnsmos_net_shared,
+    dnsmos_net_windowed_exact,
     load_params,
 )
 from fast_speech_enhancement_metrics_tpu.ops.stft import frame
@@ -59,6 +60,7 @@ class DNSMOS(BaseMetric):
         conv_dtype=None,
         host_chunk: int | None = None,
         shared_conv: bool = False,
+        window_plan: str = "shared_exact",
         **kw,
     ):
         super().__init__(sample_rate, **kw)
@@ -75,11 +77,20 @@ class DNSMOS(BaseMetric):
         #: jitted per-chunk net graph instead of a lax.map inside the metric
         #: graph — same results and throughput, a fraction of the compile
         #: cost (useful where XLA compiles are expensive). Single-device only.
-        #: shared-conv fast path: run the conv stack once over the full
-        #: signal instead of once per 89%-overlapping window (~4-9x fewer
-        #: FLOPs; small boundary-context deviation — see
-        #: models/dnsmos_net.py::dnsmos_net_shared). Requires host_chunk.
+        #: shared-conv APPROXIMATE path: conv stack once over the full signal,
+        #: windows slice the shared map (~4-9x fewer FLOPs; boundary-context
+        #: deviation ~0.05-0.1 MOS — see models/dnsmos_net.py::
+        #: dnsmos_net_shared and results/dnsmos_deviation.md). Requires
+        #: host_chunk. Overrides window_plan.
         self.shared_conv = shared_conv
+        #: "shared_exact" (default): shared conv trunk + per-window edge
+        #: strips — same scores as per-window evaluation up to float
+        #: reassociation (bit-exact at fp32 on CPU), ~2.9x fewer conv FLOPs.
+        #: "per_window": the reference's literal plan, every window through
+        #: the full stack (models/dnsmos_net.py::dnsmos_net_windowed_exact).
+        if window_plan not in ("shared_exact", "per_window"):
+            raise ValueError(f"unknown window_plan: {window_plan!r}")
+        self.window_plan = window_plan
         self.host_chunk = host_chunk
         if shared_conv and host_chunk is None:
             raise ValueError("shared_conv requires host_chunk (utterances per step)")
@@ -117,24 +128,29 @@ class DNSMOS(BaseMetric):
             audio = jnp.tile(audio, (1, reps))
         return frame(audio, self.window, self.hop)
 
-    def _run_shared(self, denoised):
-        """Shared-conv plan: (B, T) -> scores, conv stack computed once per
-        signal; utterance-chunked host loop over one jitted graph."""
-        import jax
-        import numpy as np
-
-        t = denoised.shape[1]
+    def _tile_to_window(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """Repeat-double (B, T) audio until T >= 9.01 s (reference's
+        while-loop as a static power-of-two tile count)."""
+        t = audio.shape[1]
         reps = 1
         while t * reps < self.window:
             reps *= 2
-        if reps > 1:
-            denoised = jnp.tile(denoised, (1, reps))
+        return jnp.tile(audio, (1, reps)) if reps > 1 else audio
 
-        if not hasattr(self, "_shared_jitted"):
+    def _run_shared(self, denoised, net_fn):
+        """Shared-conv-trunk plan (exact or approximate ``net_fn``):
+        (B, T) -> scores; utterance-chunked host loop over one jitted graph."""
+        import jax
+        import numpy as np
+
+        denoised = self._tile_to_window(denoised)
+
+        key = f"_shared_jitted_{net_fn.__name__}"
+        if not hasattr(self, key):
 
             def shared_fn(audio):
                 num_windows = (audio.shape[1] - self.window) // self.hop + 1
-                return dnsmos_net_shared(
+                return net_fn(
                     self.params,
                     audio,
                     num_windows,
@@ -143,7 +159,7 @@ class DNSMOS(BaseMetric):
                     self.conv_dtype,
                 )
 
-            self._shared_jitted = jax.jit(shared_fn)
+            setattr(self, key, jax.jit(shared_fn))
 
         batch, chunk = denoised.shape[0], self.host_chunk
         pad = (-batch) % chunk
@@ -154,7 +170,7 @@ class DNSMOS(BaseMetric):
             ]
         raw = jnp.concatenate(
             [
-                self._shared_jitted(denoised[i : i + chunk])
+                getattr(self, key)(denoised[i : i + chunk])
                 for i in range(0, denoised.shape[0], chunk)
             ],
             axis=0,
@@ -181,7 +197,9 @@ class DNSMOS(BaseMetric):
                 denoised, self.sample_rate, self.EXPECTED_SAMPLING_RATE
             )
         if self.shared_conv:
-            return self._run_shared(denoised)
+            return self._run_shared(denoised, dnsmos_net_shared)
+        if self.window_plan == "shared_exact":
+            return self._run_shared(denoised, dnsmos_net_windowed_exact)
         segments = self._segment_jitted(denoised)
         batch, num_segments = segments.shape[:2]
         windows = segments.reshape(-1, self.window)
@@ -211,6 +229,24 @@ class DNSMOS(BaseMetric):
     def _compute(self, clean, denoised):
         del clean  # non-intrusive
         batch = denoised.shape[0]
+        if self.window_plan == "shared_exact":
+            audio = self._tile_to_window(denoised)
+            num_windows = (audio.shape[1] - self.window) // self.hop + 1
+            raw = dnsmos_net_windowed_exact(
+                self.params,
+                audio,
+                num_windows,
+                self.hop // 160,
+                self.precision,
+                self.conv_dtype,
+            ).reshape(-1, 3)
+            calibrated = (
+                jnp.asarray(POLY_C)
+                + jnp.asarray(POLY_B1) * raw
+                + jnp.asarray(POLY_B2) * jnp.square(raw)
+            )
+            scores = calibrated.reshape(batch, num_windows, 3).mean(axis=1)
+            return {"SIG": scores[:, 0], "BAK": scores[:, 1], "OVRL": scores[:, 2]}
         segments = self._segment(denoised)
         num_segments = segments.shape[1]
 

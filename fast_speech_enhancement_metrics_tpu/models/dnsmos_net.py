@@ -161,6 +161,118 @@ def dnsmos_net_shared(
     return _output_mlp(params, pooled)
 
 
+#: geometry of the exact windowed evaluation. A 9.01 s window is exactly 900
+#: STFT frames -> 112 pool3 cells. The receptive field of one final cell
+#: reaches ±18 input frames (convs 0-3 at /1: ±4; conv4 at /2: ±2; conv5 at
+#: /4: ±4; conv6 at /8: ±8), so only the final cells within 18 frames of a
+#: window boundary see the exact mode's zero padding: cells {0,1,2}
+#: (8t-18 < 0) and {110,111} (8t+8+18 > 900). Everything in between is
+#: bit-identical math on identical inputs whether the convs run per-window
+#: or once over the full signal.
+_WINDOW_FRAMES = 900
+_CELLS_PER_WINDOW = 112
+_EDGE_LEFT_CELLS = 3
+_EDGE_RIGHT_CELLS = 2
+#: strip extents giving uncontaminated edge cells. Left: cells 0..2 plus
+#: conv6's neighbor cell 3 need conv5-level context up to frame 8*3+8+10=42,
+#: and the strip must keep the window's pool grids (multiple of 8) -> 48.
+#: Right: cells 109..111 need context from frame 8*109-10=862 on; the strip
+#: must start on the window's pool3 grid (multiple of 8) -> start 856,
+#: length 44. Its own pool truncation (11 -> 10 quarter-cells) then discards
+#: exactly the window's discarded quarter-cell 224 (frames 896..900).
+_LEFT_STRIP = 48
+_RIGHT_STRIP = 44
+
+
+def dnsmos_net_windowed_exact(
+    params: dict,
+    audio: jnp.ndarray,
+    num_windows: int,
+    frames_per_hop: int = 100,
+    precision=lax.Precision.HIGHEST,
+    conv_dtype=None,
+) -> jnp.ndarray:
+    """Exact windowed DNSMOS of (B, T) audio with the conv trunk shared.
+
+    Produces the same (B, S, 3) raw scores as running ``dnsmos_net`` on every
+    9.01 s window (reference semantics: fast_se_metrics/DNSMOS.py:113-121),
+    up to float reassociation — unlike ``dnsmos_net_shared``, which trades a
+    window-boundary deviation for speed. Three pieces:
+
+    * convs 0-5 (+ pools 1-2) run ONCE over the full signal; pool 3 + conv6
+      run twice (the 100-frame hop is 4 mod 8, so window pool3 grids
+      alternate between two phases — see ``dnsmos_net_shared``),
+    * per-window edge strips (48 and 44 frames vs 900) re-run the stack with
+      the exact mode's zero-padding to reproduce the 5 boundary cells,
+    * per-window global max = max(interior cells from the shared trunk,
+      edge cells from the strips) -> MLP.
+
+    ~2.9x fewer conv FLOPs than per-window evaluation at batch-64 x 16 s.
+    """
+    if frames_per_hop % 4 != 0:
+        raise ValueError(
+            "exact shared-conv mode needs the hop to be a multiple of 4 STFT "
+            f"frames (pool-grid alignment); got frames_per_hop={frames_per_hop}"
+        )
+    feats = _log_power_features(params, audio, "highest")  # (B, Tf, 161)
+    batch = feats.shape[0]
+
+    def trunk_0_5(z):
+        if conv_dtype is not None:
+            z = z.astype(conv_dtype)
+        for n in range(4):
+            z = _conv_layer(params, z, n, precision)
+        z = _max_pool_2x2(z)
+        z = _conv_layer(params, z, 4, precision)
+        z = _max_pool_2x2(z)
+        return _conv_layer(params, z, 5, precision)
+
+    x = trunk_0_5(feats[..., None])
+    phases = []
+    for phase in (0, 1):
+        xp = x if phase == 0 else x[:, 1:, :, :]
+        xp = _max_pool_2x2(xp)
+        phases.append(_conv_layer(params, xp, 6, precision))  # (B, P, 20, 64)
+
+    def edge_cells(start: int, length: int):
+        """Stack per-window feature strips, run the conv stack with the
+        window's own zero padding: (B*S, cells, 20, 64)."""
+        strip = jnp.stack(
+            [
+                feats[:, k * frames_per_hop + start : k * frames_per_hop + start + length]
+                for k in range(num_windows)
+            ],
+            axis=1,
+        ).reshape(batch * num_windows, length, feats.shape[2])
+        z = trunk_0_5(strip[..., None])
+        z = _max_pool_2x2(z)
+        return _conv_layer(params, z, 6, precision)
+
+    left = edge_cells(0, _LEFT_STRIP)[:, :_EDGE_LEFT_CELLS]
+    right = edge_cells(_WINDOW_FRAMES - _RIGHT_STRIP, _RIGHT_STRIP)[
+        :, -_EDGE_RIGHT_CELLS:
+    ]
+    left_max = jnp.max(left, axis=(1, 2)).reshape(batch, num_windows, -1)
+    right_max = jnp.max(right, axis=(1, 2)).reshape(batch, num_windows, -1)
+
+    interior = []
+    for k in range(num_windows):
+        start = k * frames_per_hop
+        cells = phases[(start % 8) // 4][
+            :,
+            start // 8 + _EDGE_LEFT_CELLS : start // 8
+            + _CELLS_PER_WINDOW
+            - _EDGE_RIGHT_CELLS,
+        ]
+        interior.append(jnp.max(cells, axis=(1, 2)))
+    interior = jnp.stack(interior, axis=1)  # (B, S, 64)
+
+    pooled = jnp.maximum(jnp.maximum(interior, left_max), right_max).astype(
+        jnp.float32
+    )
+    return _output_mlp(params, pooled)
+
+
 def dnsmos_net(
     params: dict,
     audio: jnp.ndarray,

@@ -38,8 +38,10 @@ def test_dnsmos_high_vs_low_snr(high_snr_speech_data, low_snr_speech_data):
 
 def test_dnsmos_segment_chunking_exact(speech_data):
     """lax.map chunking is a memory optimization — results must be identical."""
-    full = DNSMOS()(None, speech_data["noisy_speech"])
-    chunked = DNSMOS(segment_chunk=16)(None, speech_data["noisy_speech"])
+    full = DNSMOS(window_plan="per_window")(None, speech_data["noisy_speech"])
+    chunked = DNSMOS(window_plan="per_window", segment_chunk=16)(
+        None, speech_data["noisy_speech"]
+    )
     assert full == chunked
 
 
@@ -47,6 +49,34 @@ def test_dnsmos_host_chunking_matches(speech_data):
     """Python-loop chunking over a per-chunk jitted net == one fused graph."""
     full = DNSMOS()(None, speech_data["noisy_speech"])
     host = DNSMOS(host_chunk=16)(None, speech_data["noisy_speech"])
+    for a, b in zip(full, host):
+        for key in a:
+            assert a[key] == pytest.approx(b[key], abs=1e-5), key
+
+
+@pytest.mark.parametrize("duration_s", [4, 10, 16])
+def test_dnsmos_shared_exact_equals_per_window(duration_s):
+    """The default shared_exact plan (conv trunk shared across windows +
+    per-window edge strips, models/dnsmos_net.py::dnsmos_net_windowed_exact)
+    must reproduce the per-window plan exactly — the boundary cells are
+    recomputed with the per-window zero padding, so the only difference is
+    float reassociation (measured 0.0 at fp32 on CPU)."""
+    from fast_speech_enhancement_metrics_tpu.utils.audio import load_audio_data
+
+    _, noisy, _ = load_audio_data(duration_s, 3, 16000)
+    exact = DNSMOS(window_plan="per_window", precision="highest")(None, noisy)
+    fast = DNSMOS(window_plan="shared_exact", precision="highest")(None, noisy)
+    for a, b in zip(exact, fast):
+        for key in a:
+            assert a[key] == pytest.approx(b[key], abs=1e-5), key
+
+
+def test_dnsmos_shared_exact_host_chunk_matches(speech_data):
+    """shared_exact through the host-chunked execution plan == in-graph."""
+    full = DNSMOS(precision="highest")(None, speech_data["noisy_speech"])
+    host = DNSMOS(precision="highest", host_chunk=4)(
+        None, speech_data["noisy_speech"]
+    )
     for a, b in zip(full, host):
         for key in a:
             assert a[key] == pytest.approx(b[key], abs=1e-5), key
