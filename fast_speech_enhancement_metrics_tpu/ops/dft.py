@@ -107,16 +107,22 @@ def framed_rdft(
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, usable - t)])
     chunks = x[..., :usable].reshape(x.shape[:-1] + (n_chunks, hop))
 
-    re = im = None
+    # cos|sin packed into ONE (hop, 2*n_bins) matmul per shift: at 512-pt
+    # transforms the packed output (514 cols -> 640 MXU lanes, 80% full)
+    # beats two 257-col matmuls (384 lanes each, 67%) and halves dispatches
+    n_bins = n_fft // 2 + 1
+    out = None
     for i in range(k):
         part = chunks[..., i : i + f, :]
-        wc = jnp.asarray(cos[i * hop : (i + 1) * hop])
-        ws = jnp.asarray(sin[i * hop : (i + 1) * hop])
-        re_i = jnp.einsum("...fh,hn->...fn", part, wc, precision=precision)
-        im_i = jnp.einsum("...fh,hn->...fn", part, ws, precision=precision)
-        re = re_i if re is None else re + re_i
-        im = im_i if im is None else im + im_i
-    return re, im
+        w = jnp.asarray(
+            np.concatenate(
+                [cos[i * hop : (i + 1) * hop], sin[i * hop : (i + 1) * hop]],
+                axis=1,
+            )
+        )
+        o = jnp.einsum("...fh,hn->...fn", part, w, precision=precision)
+        out = o if out is None else out + o
+    return out[..., :n_bins], out[..., n_bins:]
 
 
 def correlation_lags(
