@@ -50,18 +50,22 @@ class SpeechBERTScore(BaseMetric):
         batch_chunk: int | None = None,
         attention_impl: str = "auto",
         host_chunk: int | None = None,
+        act_dtype=None,
         **kw,
     ):
         """``precision="default"`` = bf16 MXU passes, the TPU analogue of the
         fp16 autocast + TF32 the reference runs this model under (measured
         6e-4 F1 deviation — the reference's own published deviation class);
-        ``"highest"`` = fp32-exact. ``attention_impl``: "einsum" (XLA),
+        ``"highest"`` = fp32-exact. ``act_dtype=jnp.bfloat16`` additionally
+        stores the encoder's activation stream in bf16 (halves its HBM
+        traffic — see models/hubert.py). ``attention_impl``: "einsum" (XLA),
         "flash" (Pallas kernel — wins once sequences are long enough that the
         (B,H,T,T) logits dominate HBM), or "auto"."""
         super().__init__(sample_rate, **kw)
         self.config = config
         self.output_layer = output_layer
         self.precision = precision
+        self.act_dtype = act_dtype
         #: attention logits are (b, 12, T, T) — chunking the utterance axis
         #: caps peak HBM for long-audio/large-batch workloads
         self.batch_chunk = batch_chunk
@@ -159,6 +163,7 @@ class SpeechBERTScore(BaseMetric):
                     output_layer=self.output_layer,
                     precision=self.precision,
                     attention_impl=impl,
+                    act_dtype=self.act_dtype,
                 )
             )
         encode_jitted = self._encode_jitted_by_impl[impl]
@@ -194,6 +199,7 @@ class SpeechBERTScore(BaseMetric):
                 output_layer=self.output_layer,
                 precision=self.precision,
                 attention_impl=impl,
+                act_dtype=self.act_dtype,
             )
 
         chunk = self.batch_chunk

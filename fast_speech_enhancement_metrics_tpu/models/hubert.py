@@ -59,9 +59,16 @@ MHUBERT_147_CONFIG = HubertConfig()
 
 
 def _layer_norm(x, scale, bias, eps):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * lax.rsqrt(var + eps) * scale + bias
+    # stats and normalization always in fp32 (bf16 mean/var over 768-3072
+    # elements is too coarse); the cast pair fuses into the elementwise chain
+    # and the materialized tensors keep x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * lax.rsqrt(var + eps) * scale.astype(jnp.float32) + bias.astype(
+        jnp.float32
+    )
+    return out.astype(x.dtype)
 
 
 def _conv1d(x, w, stride=1, padding="VALID", groups=1, precision=None):
@@ -85,11 +92,16 @@ def feature_encoder(params, audio, config: HubertConfig, precision=None):
         if "b" in layer:
             x = x + layer["b"]
         if config.feat_extract_norm == "group" and i == 0:
-            # GroupNorm(groups == channels): per-channel norm over time
-            mean = jnp.mean(x, axis=1, keepdims=True)
-            var = jnp.var(x, axis=1, keepdims=True)
-            x = (x - mean) * lax.rsqrt(var + config.layer_norm_eps)
-            x = x * layer["norm_scale"] + layer["norm_bias"]
+            # GroupNorm(groups == channels): per-channel norm over time,
+            # stats in fp32 (51k-element reductions)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=1, keepdims=True)
+            var = jnp.var(xf, axis=1, keepdims=True)
+            xf = (xf - mean) * lax.rsqrt(var + config.layer_norm_eps)
+            x = (
+                xf * layer["norm_scale"].astype(jnp.float32)
+                + layer["norm_bias"].astype(jnp.float32)
+            ).astype(x.dtype)
         elif config.feat_extract_norm == "layer":
             x = _layer_norm(x, layer["norm_scale"], layer["norm_bias"], config.layer_norm_eps)
         x = jax.nn.gelu(x, approximate=False)
@@ -148,7 +160,13 @@ def _attention(p, x, num_heads, precision, impl="einsum"):
             ctx = _flash_sdpa(q, k, v, scaling)
     else:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * scaling, k, precision=precision)
-        weights = jax.nn.softmax(logits, axis=-1)
+        # softmax in fp32 regardless of the activation dtype; with bf16
+        # activations the (B, H, T, T) logits/weights tensors stay bf16 in
+        # HBM (the layer's bandwidth bottleneck) while exp/normalize run
+        # fp32 in-register
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            logits.dtype
+        )
         ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v, precision=precision)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, d)
     return _matmul(ctx, p["o_w"], precision) + p["o_b"]
@@ -187,13 +205,25 @@ def hubert_hidden_state(
     output_layer: int = 8,
     precision: str | None = "highest",
     attention_impl: str = "einsum",
+    act_dtype=None,
 ) -> jnp.ndarray:
     """(B, T) audio -> (B, frames, hidden) == HF ``hidden_states[output_layer]``.
 
     ``hidden_states[L]`` is the input to encoder layer L, i.e. the output of
     the first L encoder layers — only those L layers are executed.
     ``attention_impl="flash"`` selects the Pallas TPU flash-attention kernel.
+
+    ``act_dtype=jnp.bfloat16`` runs the whole activation stream (conv feature
+    maps, attention logits, MLP hiddens) in bf16 — the TPU analogue of the
+    fp16 autocast the reference wraps this model in (reference:
+    fast_se_metrics/SpeechBERTScore.py:8,46-51): it halves the encoder's HBM
+    traffic, which is the bottleneck (the early conv feature maps and the
+    (B, H, T, T) attention tensors dominate). Layer/group-norm statistics and
+    softmax run fp32 in-register; the returned hidden states are fp32.
     """
+    if act_dtype is not None:
+        params = jax.tree.map(lambda a: a.astype(act_dtype), params)
+        audio = audio.astype(act_dtype)
     x = feature_encoder(params, audio, config, precision)
 
     fp = params["feature_projection"]
@@ -228,7 +258,7 @@ def hubert_hidden_state(
         # pre-LN stack: encoder LayerNorm applies after the FINAL layer, and
         # HF's hidden_states[num_layers] includes it
         x = _layer_norm(x, enc["s"], enc["b"], config.layer_norm_eps)
-    return x
+    return x.astype(jnp.float32) if act_dtype is not None else x
 
 
 def init_params(

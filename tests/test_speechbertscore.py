@@ -176,6 +176,29 @@ def test_speechbertscore_host_chunking_matches(speech_data):
         )
 
 
+def test_speechbertscore_bf16_activations_close(speech_data):
+    """act_dtype=bfloat16 (the benchmark configuration) stores the encoder's
+    activation stream in bf16 — the TPU analogue of the reference's fp16
+    autocast (fast_se_metrics/SpeechBERTScore.py:8). On-chip F1 deviation vs
+    fp32 activations measured 2.2e-3 vs 2.0e-3 for bf16-MXU-passes alone
+    (64 x 16 s fixture); this small fixture asserts the same class."""
+    import jax.numpy as jnp
+
+    model, cfg = _hf_model()
+    params = convert_hf_hubert(model.state_dict(), _our_config(cfg))
+    kw = dict(params=params, config=_our_config(cfg), output_layer=3)
+    exact = SpeechBERTScore(precision="highest", **kw)(
+        speech_data["speech"], speech_data["noisy_speech"]
+    )
+    fast = SpeechBERTScore(act_dtype=jnp.bfloat16, **kw)(
+        speech_data["speech"], speech_data["noisy_speech"]
+    )
+    for a, b in zip(exact, fast):
+        assert a["SpeechBERTScore"] == pytest.approx(
+            b["SpeechBERTScore"], abs=1e-2
+        )
+
+
 def test_speechbertscore_identical_is_one(speech_data):
     model, cfg = _hf_model()
     params = convert_hf_hubert(model.state_dict(), _our_config(cfg))
