@@ -15,6 +15,7 @@ a (B,) vector on device.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from fast_speech_enhancement_metrics_tpu.base import BaseMetric
@@ -25,12 +26,24 @@ class LSD(BaseMetric):
     higher_is_better = False
     EXPECTED_SAMPLING_RATE = 16000
 
-    def __init__(self, sample_rate: int = 16000, **kw):
+    def __init__(self, sample_rate: int = 16000, spectral_impl: str = "auto", **kw):
+        """``spectral_impl``: "fused" (Pallas kernel — the spectrogram never
+        touches HBM, half the DFT matmul FLOPs via the shared-chunk
+        factorization, see ops/lsd_fused.py), "xla" (framed-DFT matmuls +
+        fused epilogue), or "auto" (fused on a single TPU device, xla under
+        a mesh or on CPU)."""
         super().__init__(sample_rate, **kw)
         self.nfft = int(self.EXPECTED_SAMPLING_RATE * 0.032)
         self.hop = int(self.EXPECTED_SAMPLING_RATE * 0.016)
         self.p = 2
         self.eps = 1e-8
+        assert spectral_impl in ("auto", "fused", "xla")
+        self.spectral_impl = spectral_impl
+
+    def _use_fused(self) -> bool:
+        if self.spectral_impl == "auto":
+            return self.mesh is None and jax.default_backend() == "tpu"
+        return self.spectral_impl == "fused"
 
     def _compute(self, clean, denoised):
         assert clean is not None
@@ -39,6 +52,16 @@ class LSD(BaseMetric):
             jnp.sum(denoised * denoised, axis=1, keepdims=True) + self.eps
         )
         denoised = denoised * scale
+
+        if self._use_fused():
+            from fast_speech_enhancement_metrics_tpu.ops.lsd_fused import lsd_scores
+
+            return {
+                "LSD": lsd_scores(
+                    clean, denoised, self.nfft, self.hop, self.eps,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            }
 
         speech = jnp.concatenate([clean, denoised], axis=0)
         # magnitude spectrogram, frames-major: (2B, F_frames, nfft//2+1),

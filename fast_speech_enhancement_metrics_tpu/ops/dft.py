@@ -52,6 +52,29 @@ def _rdft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
+def _chunk_rdft_matrix(n_fft: int) -> np.ndarray:
+    """(n_fft/2, 2*(n_fft/2+2)) packed cos|sin chunk-DFT matrix.
+
+    Transforms a hop-sized chunk (hop = n_fft/2) at the n_fft-point DFT
+    frequencies k = 0 .. n_fft/2+1 — one guard bin past one-sided so a
+    frequency-domain Hann convolution has its k+1 neighbour available at
+    the last kept bin. Consumed by the fused LSD kernel
+    (``ops/lsd_fused.py``), where the shared-chunk factorization halves the
+    MXU FLOPs of the 50 %-overlap framed DFT. (As a plain XLA rewrite the
+    same factorization *loses*: it halves FLOPs but materializes two extra
+    spectrum-sized intermediates, and the framed DFT is HBM-bound —
+    measured 189k -> 153k audio-s/s on LSD. It only pays inside a kernel
+    that keeps everything in VMEM.)
+    """
+    hop = n_fft // 2
+    nb = n_fft // 2 + 2
+    t = np.arange(hop, dtype=np.float64)[:, None]
+    f = np.arange(nb, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * t * f / n_fft
+    return np.concatenate([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def _windowed_rdft_matrices(
     n_fft: int, win_length: int | None, window_key: object
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -113,15 +136,20 @@ def framed_rdft(
     n_bins = n_fft // 2 + 1
     out = None
     for i in range(k):
+        cos_i = cos[i * hop : (i + 1) * hop]
+        sin_i = sin[i * hop : (i + 1) * hop]
+        if not (cos_i.any() or sin_i.any()):
+            # window is zero across this whole shift (e.g. STOI's 256-tap
+            # window center-padded to n_fft=512: shifts 0 and 3) — the
+            # matmul would multiply by a zero matrix
+            continue
         part = chunks[..., i : i + f, :]
-        w = jnp.asarray(
-            np.concatenate(
-                [cos[i * hop : (i + 1) * hop], sin[i * hop : (i + 1) * hop]],
-                axis=1,
-            )
-        )
+        w = jnp.asarray(np.concatenate([cos_i, sin_i], axis=1))
         o = jnp.einsum("...fh,hn->...fn", part, w, precision=precision)
         out = o if out is None else out + o
+    if out is None:
+        shape = x.shape[:-1] + (f, n_bins)
+        return jnp.zeros(shape, x.dtype), jnp.zeros(shape, x.dtype)
     return out[..., :n_bins], out[..., n_bins:]
 
 

@@ -1,0 +1,195 @@
+"""Fused LSD (log-spectral distance) as a single Pallas TPU kernel.
+
+The XLA formulation (metrics/lsd.py ``_compute``) is HBM-bound: the framed
+spectrogram of the clean/denoised pair is a (2B, ~1000, 514)-float tensor
+(~0.5 GB at batch 64) written by the DFT matmuls and re-read by the
+log-ratio chain. This kernel never materializes it — band magnitudes live
+only in VMEM and each grid step emits one partial frame-sum scalar.
+
+Two structural ideas (reference semantics anchor: fast_se_metrics/LSD.py:18-52):
+
+* **Shared-chunk DFT.** With hop = n_fft/2, frame f = [chunk_f | chunk_{f+1}]
+  and the right half's n_fft-point phase shift is e^{-i*pi*k} = (-1)^k, so
+  the unwindowed frame spectrum is X_f[k] = A_f[k] + (-1)^k A_{f+1}[k] with
+  A_j the chunk DFT — ONE (hop x n_bins+1) matmul per chunk instead of the
+  two per frame of the shift decomposition (ops/dft.py): half the MXU FLOPs.
+* **Frequency-domain Hann.** The periodic Hann is the 3-tap kernel
+  [-0.25, 0.5, -0.25] in the frequency domain, so windowing is the exact
+  convolution Y[k] = 0.5 X[k] - 0.25 (X[k-1] + X[k+1]) on the VPU
+  (X[-1] = conj(X[1]) by Hermitian symmetry of the real input).
+
+Grid: (batch, frame-blocks). Frame blocks need chunks [j*FB, j*FB + FB]
+(one chunk of overlap); overlapping windows aren't expressible with one
+BlockSpec, so the chunk array is passed twice with index maps (b, j) and
+(b, j+1) and the kernel stitches the boundary row.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fast_speech_enhancement_metrics_tpu.ops.dft import _chunk_rdft_matrix
+from fast_speech_enhancement_metrics_tpu.ops.stft import num_frames
+
+
+def _lsd_kernel(
+    c1_ref,  # (1, FB, hop) clean chunks of block j
+    c2_ref,  # (1, FB, hop) clean chunks of block j+1 (boundary row)
+    d1_ref,  # (1, FB, hop) denoised chunks, block j
+    d2_ref,  # (1, FB, hop) denoised chunks, block j+1
+    w_ref,  # (hop, 2*(n_bins+1)) packed cos|sin chunk-DFT matrix
+    out_ref,  # (B, NFB) accumulator: per-(batch, block) frame sums
+    *,
+    frame_block: int,
+    n_frames: int,
+    eps: float,
+    precision,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def dot_f32(x, w):
+        dims = (((1,), (0,)), ((), ()))
+        if precision == "default":
+            return jax.lax.dot_general(
+                x.astype(jnp.bfloat16),
+                w.astype(jnp.bfloat16),
+                dims,
+                preferred_element_type=jnp.float32,
+            )
+        # bf16x3 (XLA's Precision.HIGH, which Mosaic doesn't lower
+        # directly): hi/lo bf16 split, drop the lo*lo term — three MXU
+        # passes for ~f32-class products
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        wh = w.astype(jnp.bfloat16)
+        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def mm(p, q):
+            return jax.lax.dot_general(
+                p, q, dims, preferred_element_type=jnp.float32
+            )
+
+        return mm(xh, wh) + mm(xh, wl) + mm(xl, wh)
+
+    def windowed_mag_sq(b1, b2):
+        # chunk DFT: rows j*FB .. j*FB+FB  ->  (FB+1, 2*(nb+1))
+        chunks = jnp.concatenate([b1[0], b2[0][:1]], axis=0)
+        a = dot_f32(chunks, w_ref[:])
+        nb = a.shape[-1] // 2  # n_bins + 1 (one guard bin)
+        sign = 1.0 - 2.0 * (
+            jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) % 2
+        ).astype(jnp.float32)
+        are, aim = a[:, :nb], a[:, nb:]
+        # unwindowed frame spectrum via the (-1)^k chunk combination
+        xre = are[:-1] + sign * are[1:]
+        xim = aim[:-1] + sign * aim[1:]
+        # periodic-Hann as an exact 3-tap frequency-domain convolution;
+        # bin 0 uses X[-1] = conj(X[1]), and Xim[0] is exactly 0 (the k=0
+        # sin column is zero), so Yim[0] = 0
+        yre = jnp.concatenate(
+            [
+                0.5 * xre[:, :1] - 0.5 * xre[:, 1:2],
+                0.5 * xre[:, 1:-1] - 0.25 * (xre[:, :-2] + xre[:, 2:]),
+            ],
+            axis=1,
+        )
+        yim = jnp.concatenate(
+            [
+                jnp.zeros_like(xim[:, :1]),
+                0.5 * xim[:, 1:-1] - 0.25 * (xim[:, :-2] + xim[:, 2:]),
+            ],
+            axis=1,
+        )
+        return yre * yre + yim * yim  # (FB, n_bins)
+
+    c_sq = windowed_mag_sq(c1_ref, c2_ref)
+    d_sq = windowed_mag_sq(d1_ref, d2_ref)
+
+    d_mag = jnp.sqrt(d_sq) + eps
+    log_ratio = jnp.log(c_sq / (d_mag * d_mag) + eps)
+    frame_ms = jnp.mean(log_ratio * log_ratio, axis=1)  # (FB,)
+
+    frame_idx = j * frame_block + jax.lax.broadcasted_iota(
+        jnp.int32, (1, frame_block), 1
+    )
+    valid = (frame_idx < n_frames)[0]
+    part = jnp.sum(jnp.where(valid, jnp.sqrt(frame_ms), 0.0))
+
+    # the output block is the whole (B, NFB) array with a constant index
+    # map, so it stays resident in VMEM across every grid step (scalar
+    # (1,1) blocks fail Mosaic's (8,128) tiling check) — accumulate this
+    # step's scalar through a coordinate mask
+    @pl.when((b == 0) & (j == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    out_ref[:] = out_ref[:] + jnp.where((rows == b) & (cols == j), part, 0.0)
+
+
+def lsd_scores(
+    clean: jnp.ndarray,
+    denoised: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    eps: float,
+    frame_block: int = 256,
+    precision: str = "high",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Centered-STFT LSD of (B, T) pairs -> (B,) scores, fully fused.
+
+    ``denoised`` must already carry the least-squares projection scale
+    (metrics/lsd.py applies it before calling). Matches the XLA path's
+    semantics bin-for-bin; agreement asserted in tests/test_lsd.py.
+    """
+    assert n_fft == 2 * hop, "fused LSD requires 50% overlap"
+    batch, t = clean.shape
+    pad = n_fft // 2  # center=True
+    t_padded = t + n_fft
+    f = num_frames(t_padded, n_fft, hop)
+    nfb = pl.cdiv(f, frame_block)
+    # block j+1 of the second view must exist: one extra all-zero block
+    n_chunks = (nfb + 1) * frame_block
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (pad, n_chunks * hop - t - pad)))
+        return x.reshape(batch, n_chunks, hop)
+
+    c = prep(clean.astype(jnp.float32))
+    d = prep(denoised.astype(jnp.float32))
+    w = jnp.asarray(_chunk_rdft_matrix(n_fft))
+
+    spec1 = pl.BlockSpec(
+        (1, frame_block, hop), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
+    )
+    spec2 = pl.BlockSpec(
+        (1, frame_block, hop), lambda b, j: (b, j + 1, 0), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _lsd_kernel,
+        frame_block=frame_block,
+        n_frames=f,
+        eps=eps,
+        precision=precision,
+    )
+    partials = pl.pallas_call(
+        kernel,
+        grid=(batch, nfb),
+        in_specs=[spec1, spec2, spec1, spec2,
+                  pl.BlockSpec(w.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (batch, nfb), lambda b, j: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, nfb), jnp.float32),
+        interpret=interpret,
+    )(c, c, d, d, w)
+    return jnp.sum(partials, axis=1) / f

@@ -37,3 +37,23 @@ def test_lsd_single_utterance(speech_data):
         speech_data["speech"][:1], speech_data["noisy_speech"][:1]
     )
     assert results[0]["LSD"] == pytest.approx(float(expected[0]), rel=2e-4, abs=2e-4)
+
+
+def test_lsd_fused_kernel_matches_xla(speech_data):
+    """The fused Pallas kernel (ops/lsd_fused.py — shared-chunk DFT +
+    frequency-domain Hann + in-VMEM reduction) matches the XLA path and the
+    oracle; runs in interpret mode on CPU, compiled in the FSEM_TEST_TPU=1
+    device-consistency matrix."""
+    xla = LSD(spectral_impl="xla")(speech_data["speech"], speech_data["noisy_speech"])
+    fused = LSD(spectral_impl="fused")(
+        speech_data["speech"], speech_data["noisy_speech"]
+    )
+    # both paths are bf16x3-class DFTs with different rounding orders; they
+    # agree with each other at the same class they agree with the oracle
+    np.testing.assert_allclose(
+        [r["LSD"] for r in xla], [r["LSD"] for r in fused], rtol=2e-4, atol=2e-4
+    )
+    expected = lsd_oracle(speech_data["speech"], speech_data["noisy_speech"])
+    np.testing.assert_allclose(
+        [r["LSD"] for r in fused], expected, rtol=2e-4, atol=2e-4
+    )
