@@ -43,11 +43,13 @@ class SDR(BaseMetric):
         self.zero_mean = False
         self.load_diag = None
         self.precision = precision
-        # "levinson": batched static-shape Levinson scan (default; ~6x faster
-        # than Cholesky on TPU, ~1e-4 dB off the direct solve).
+        # "levinson" (default): batched static-shape Levinson — on TPU a
+        # single Pallas kernel with all recursion state in VMEM
+        # (ops/levinson_pallas.py), elsewhere the XLA scan; ~1e-4 dB off
+        # the direct solve. "levinson_xla": force the scan everywhere.
         # "cholesky": XLA Cholesky + triangular solves with LU fallback,
         # matching the reference's solver choice (fast_se_metrics/SDR.py:7-31).
-        assert solver in ("levinson", "cholesky")
+        assert solver in ("levinson", "levinson_xla", "cholesky")
         self.solver = solver
 
     def _preprocess(self, speech):
@@ -74,6 +76,17 @@ class SDR(BaseMetric):
             r0 = r0.at[..., 0].add(self.load_diag)
 
         if self.solver == "levinson":
+            import jax
+
+            if jax.default_backend() == "tpu" and r0.ndim == 2:
+                from fast_speech_enhancement_metrics_tpu.ops.levinson_pallas import (
+                    levinson_solve_fused,
+                )
+
+                sol = levinson_solve_fused(r0, b)
+            else:
+                sol = levinson_solve(r0, b)
+        elif self.solver == "levinson_xla":
             sol = levinson_solve(r0, b)
         else:
             sol = symmetric_toeplitz_solve(r0, b)

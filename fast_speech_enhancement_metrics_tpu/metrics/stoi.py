@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import warnings
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,8 +68,14 @@ class STOI(BaseMetric):
     #: contract (validated on-chip vs the float64 oracle)
     RESAMPLE_PRECISION = "high"
 
-    def __init__(self, sample_rate: int = 10000, **kw):
+    def __init__(self, sample_rate: int = 10000, segment_impl: str = "auto", **kw):
+        """``segment_impl``: "fused" (Pallas kernel — the (B, n_seg, 15, 30)
+        sliding-segment tensor never touches HBM, see ops/stoi_fused.py),
+        "xla" (materialized segments + masked reductions), or "auto" (fused
+        on a single TPU device, xla under a mesh or on CPU)."""
         super().__init__(sample_rate, **kw)
+        assert segment_impl in ("auto", "fused", "xla")
+        self.segment_impl = segment_impl
         self.win_length = 256
         self.hop = self.win_length // 2
         self.n_fft = 512
@@ -210,6 +217,39 @@ class STOI(BaseMetric):
 
         speech = jnp.concatenate([c_sig, d_sig], axis=0)
         tob = self._band_envelopes(speech, jnp.concatenate([lengths, lengths]))
+
+        num_segments = jnp.maximum(
+            (lengths - self.n_fft) // self.hop - self.N + 2, 0
+        )
+
+        use_fused = (
+            self.mesh is None and jax.default_backend() == "tpu"
+            if self.segment_impl == "auto"
+            else self.segment_impl == "fused"
+        )
+        if use_fused:
+            from fast_speech_enhancement_metrics_tpu.ops.stoi_fused import (
+                stoi_segment_sums,
+            )
+
+            stoi_sum, estoi_sum = stoi_segment_sums(
+                tob[:batch],
+                tob[batch:],
+                num_segments,
+                n=self.N,
+                num_bands=self.num_octave_bands,
+                interpret=jax.default_backend() != "tpu",
+            )
+            stoi = stoi_sum / self.num_octave_bands
+            estoi = estoi_sum / self.N
+            safe = jnp.maximum(num_segments, 1).astype(stoi.dtype)
+            has_seg = num_segments > 0
+            return {
+                "STOI": jnp.where(has_seg, stoi / safe, 0.0),
+                "ESTOI": jnp.where(has_seg, estoi / safe, 0.0),
+                "_num_segments": num_segments,
+            }
+
         seg = self._segments(tob, n_seg, self.N)  # (2B, n_seg, 15, N)
         clean_seg, denoised_seg = seg[:batch], seg[batch:]
 
@@ -223,9 +263,6 @@ class STOI(BaseMetric):
             self._normalize(denoised_seg, axis=3), axis=2
         )
 
-        num_segments = jnp.maximum(
-            (lengths - self.n_fft) // self.hop - self.N + 2, 0
-        )
         seg_mask = (
             jnp.arange(n_seg)[None, :] < num_segments[:, None]
         ).astype(clean.dtype)

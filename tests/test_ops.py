@@ -172,6 +172,42 @@ def test_levinson_matches_direct_solve():
         np.testing.assert_allclose(got[i], want, rtol=2e-3, atol=2e-3 * np.abs(want).max())
 
 
+def test_levinson_pallas_matches_xla_scan():
+    """The fused Pallas kernel (ops/levinson_pallas.py — whole recursion in
+    VMEM) solves the same systems as the XLA scan and the float64 direct
+    solve; interpret mode on CPU, compiled in the FSEM_TEST_TPU=1 suite."""
+    import jax
+
+    from scipy.linalg import solve_toeplitz
+
+    from fast_speech_enhancement_metrics_tpu.ops.levinson_pallas import (
+        levinson_solve_fused,
+    )
+
+    rs = np.random.RandomState(11)
+    n = 128  # one lane tile; SDR's production order (512) runs on-chip
+    lags = np.arange(n)
+    r = (0.9 ** lags)[None] * rs.uniform(0.5, 20.0, (5, 1))
+    r = r + 0.01 * rs.randn(5, n) * r[:, :1]
+    r[:, 0] = np.abs(r[:, 0]) + 1.0
+    b = rs.randn(5, n).astype(np.float32)
+    import jax.numpy as jnp
+
+    got = np.asarray(
+        levinson_solve_fused(
+            jnp.asarray(r, jnp.float32),
+            jnp.asarray(b),
+            interpret=jax.default_backend() != "tpu",
+        )
+    )
+    assert got.shape == (5, n)
+    for i in range(5):
+        want = solve_toeplitz(r[i], b[i].astype(np.float64))
+        np.testing.assert_allclose(
+            got[i], want, rtol=2e-3, atol=2e-3 * np.abs(want).max()
+        )
+
+
 def test_sdr_levinson_vs_cholesky_consistency():
     from fast_speech_enhancement_metrics_tpu import SDR
 

@@ -57,3 +57,25 @@ def test_stoi_monotonic_in_snr(high_snr_speech_data, low_snr_speech_data):
     lo = metric(low_snr_speech_data["speech"], low_snr_speech_data["noisy_speech"])
     for key in ("STOI", "ESTOI"):
         assert np.mean([r[key] for r in hi]) > np.mean([r[key] for r in lo])
+
+
+def test_stoi_fused_kernel_matches_xla(speech_data):
+    """The fused Pallas segment kernel (ops/stoi_fused.py — sliding segments
+    never materialized, lane-shift accumulation in VMEM) matches the XLA
+    segment path; interpret mode on CPU, compiled in the FSEM_TEST_TPU=1
+    suite. Also must satisfy the float64-oracle contract directly."""
+    c = speech_data["speech"][:4]
+    d = speech_data["noisy_speech"][:4]
+    xla = STOI(sample_rate=16000, segment_impl="xla")(c, d)
+    fused = STOI(sample_rate=16000, segment_impl="fused")(c, d)
+    for key in ("STOI", "ESTOI"):
+        np.testing.assert_allclose(
+            [r[key] for r in fused],
+            [r[key] for r in xla],
+            atol=2e-5,
+        )
+    c10 = sinc_resample(c.astype(np.float64), 16000, 10000)
+    d10 = sinc_resample(d.astype(np.float64), 16000, 10000)
+    expected_stoi, expected_estoi = stoi_oracle(c10, d10)
+    np.testing.assert_allclose([r["STOI"] for r in fused], expected_stoi, atol=5e-4)
+    np.testing.assert_allclose([r["ESTOI"] for r in fused], expected_estoi, atol=5e-4)
