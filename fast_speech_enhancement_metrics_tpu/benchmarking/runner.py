@@ -93,9 +93,12 @@ def make_metrics(sample_rate: int = 16000) -> dict:
 
         # act_dtype=bf16: activation stream in bf16 like the reference's fp16
         # autocast (F1 deviation 2.2e-3 vs 2.0e-3 for fp32 activations with
-        # bf16 MXU passes on the 64x16s fixture — same fidelity class)
+        # bf16 MXU passes on the 64x16s fixture — same fidelity class).
+        # Fused device plan (no host_chunk): measured 2580 vs 2281 audio-s/s
+        # per-call against host_chunk=16, and it qualifies for the scanned
+        # device-throughput protocol (tools/prof_sbs_configs.py).
         if Path(DEFAULT_CHECKPOINT).exists():
-            return SpeechBERTScore(host_chunk=16, act_dtype=jnp.bfloat16)
+            return SpeechBERTScore(act_dtype=jnp.bfloat16)
         # zero-egress: real mHuBERT-147 weights unavailable -> random weights
         # of the identical architecture (same FLOPs, same memory traffic)
         import jax
@@ -107,7 +110,6 @@ def make_metrics(sample_rate: int = 16000) -> dict:
 
         return SpeechBERTScore(
             params=init_params(jax.random.key(0), MHUBERT_147_CONFIG),
-            host_chunk=16,
             act_dtype=jnp.bfloat16,
         )
 
@@ -249,10 +251,8 @@ def _scanned(compute, intrusive: bool):
 
 
 def _make_scanned_runner(metric):
-    from fast_speech_enhancement_metrics_tpu.base import BaseMetric
-
-    if type(metric)._run_prepared is not BaseMetric._run_prepared:
-        return None  # host-orchestrated plans (DNSMOS/SBS) time per-call
+    if getattr(metric, "host_chunk", None) is not None:
+        return None  # host-orchestrated plan (Python chunk loop): time per-call
     return _scanned(metric._compute_resampled, not metric.NON_INTRUSIVE)
 
 
