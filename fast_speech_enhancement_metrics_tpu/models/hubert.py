@@ -84,41 +84,11 @@ def _conv1d(x, w, stride=1, padding="VALID", groups=1, precision=None):
     )
 
 
-def _conv1d_matmul(x, w, stride, precision=None):
-    """Strided VALID 1-D conv as ceil(K/stride) shifted GEMMs.
-
-    XLA's TPU lowering of the feature extractor's small-kernel strided convs
-    runs the MXU at ~30% (measured: the FE was ~45% of encoder time at 3x
-    its FLOP share). Reshaping the signal into stride-sized chunks turns the
-    conv into r = ceil(K/S) plain matmuls against weight slabs — for the
-    K=3/S=2 layers that carry ~90% of the FE FLOPs this is one
-    (B*T_out, 2*C)x(2*C, C) GEMM plus one (B*T_out, C)x(C, C) GEMM, both
-    MXU-native shapes, with no framed-window materialization.
-    """
-    k, c_in, c_out = w.shape
-    s = stride
-    b, t, _ = x.shape
-    out_t = (t - k) // s + 1
-    r = -(-k // s)
-    need = (out_t + r - 1) * s
-    if need > t:  # pad; padded samples only feed sliced-away slab columns
-        x = jnp.pad(x, ((0, 0), (0, need - t), (0, 0)))
-    xc = x[:, :need].reshape(b, out_t + r - 1, s * c_in)
-    out = None
-    for i in range(r):
-        lo, hi = i * s, min((i + 1) * s, k)
-        wi = w[lo:hi].reshape((hi - lo) * c_in, c_out)
-        xi = xc[:, i : i + out_t, : (hi - lo) * c_in]
-        term = jnp.matmul(xi, wi, precision=precision)
-        out = term if out is None else out + term
-    return out
-
-
 def feature_encoder(params, audio, config: HubertConfig, precision=None):
     """(B, T) raw audio -> (B, frames, conv_dim[-1]) conv features."""
     x = audio[..., None]  # NWC with one channel
     for i, layer in enumerate(params["feature_encoder"]):
-        x = _conv1d_matmul(x, layer["w"], config.conv_stride[i], precision=precision)
+        x = _conv1d(x, layer["w"], stride=config.conv_stride[i], precision=precision)
         if "b" in layer:
             x = x + layer["b"]
         if config.feat_extract_norm == "group" and i == 0:
