@@ -120,9 +120,11 @@ def make_metrics(sample_rate: int = 16000) -> dict:
         "STOI": lambda: STOI(sample_rate=sample_rate),
         "SDR": lambda: SDR(),
         "LSD": lambda: LSD(),
-        # host_chunk: per-chunk jitted net (compiles in seconds) instead of a
-        # giant fused lax.map graph (minutes through remote-compile services)
-        "DNSMOS": lambda: DNSMOS(host_chunk=16, conv_dtype=jnp.bfloat16),
+        # fused shared_exact device plan: same scores as the host-chunked
+        # plan (OVRL bit-match on the bench fixture) and qualifies for the
+        # scanned device-throughput protocol — measured 10.5 k vs 6.2 k
+        # audio-s/s (tools/prof_dnsmos_fused.py)
+        "DNSMOS": lambda: DNSMOS(conv_dtype=jnp.bfloat16),
         "SpeechBERTScore": make_sbs,
     }
 
