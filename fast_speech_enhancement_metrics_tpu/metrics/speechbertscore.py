@@ -111,12 +111,17 @@ class SpeechBERTScore(BaseMetric):
                 f"'{DEFAULT_CHECKPOINT}'"
             ) from e
 
-    def _resolve_impl(self, num_samples: int) -> str:
+    def _resolve_impl(self, num_samples: int, rows: int) -> str:
         impl = self.attention_impl
         if impl != "auto":
             return impl
-        # measured on v5e at ~800 frames: XLA's bf16 einsum attention beats
-        # the flash kernel; flash wins once T^2 logits dominate HBM
+        # Measured on v5e (tools/prof_flash_crossover.py, batch 4): XLA's
+        # bf16 einsum attention beats the flash kernel at every length that
+        # fits — 43 vs 55 ms at 799 frames, 162 vs 318 ms at 3999 — but the
+        # einsum path materializes per-layer (rows, heads, T, T) logits and
+        # OOMs at 7999 frames (12 GB at batch 4). "auto" therefore picks
+        # einsum until that logits tensor approaches HBM and flash past it:
+        # a capacity switch, not a throughput crossover.
         frames = num_samples // 320
         on_tpu = all(
             d.platform == "tpu"
@@ -124,7 +129,11 @@ class SpeechBERTScore(BaseMetric):
                 self.mesh.devices.flat if self.mesh is not None else [self.device]
             )
         )
-        return "flash" if (on_tpu and frames >= 2000) else "einsum"
+        if not on_tpu:
+            return "einsum"
+        heads = self.config.num_attention_heads
+        logits_gb = rows * heads * frames * frames * 4 / 1e9
+        return "flash" if logits_gb > 4.0 else "einsum"
 
     def _f1_from_embeddings(self, clean_emb, denoised_emb):
         norm_c = clean_emb / jnp.linalg.norm(clean_emb, axis=2, keepdims=True)
@@ -144,7 +153,7 @@ class SpeechBERTScore(BaseMetric):
             clean = resample(clean, self.sample_rate, self.EXPECTED_SAMPLING_RATE)
             denoised = resample(denoised, self.sample_rate, self.EXPECTED_SAMPLING_RATE)
 
-        impl = self._resolve_impl(denoised.shape[1])
+        impl = self._resolve_impl(denoised.shape[1], self.host_chunk)
         # cache the jitted encoder per resolved attention impl — a later call
         # whose length crosses the auto threshold must not reuse a stale impl
         if not hasattr(self, "_encode_jitted_by_impl"):
@@ -189,7 +198,10 @@ class SpeechBERTScore(BaseMetric):
         batch = clean.shape[0]
 
         speech = jnp.concatenate([clean, denoised], axis=0)
-        impl = self._resolve_impl(speech.shape[1])
+        rows = speech.shape[0]
+        if self.batch_chunk is not None:
+            rows = min(rows, self.batch_chunk)
+        impl = self._resolve_impl(speech.shape[1], rows)
 
         def encode(audio):
             return hubert_hidden_state(
