@@ -39,6 +39,8 @@ class LSD(BaseMetric):
         self.eps = 1e-8
         assert spectral_impl in ("auto", "fused", "xla")
         self.spectral_impl = spectral_impl
+        #: fused-kernel grid tile height (frames per Pallas grid step)
+        self.frame_block = 256
 
     def _use_fused(self) -> bool:
         if self.spectral_impl == "auto":
@@ -59,6 +61,7 @@ class LSD(BaseMetric):
             return {
                 "LSD": lsd_scores(
                     clean, denoised, self.nfft, self.hop, self.eps,
+                    frame_block=self.frame_block,
                     interpret=jax.default_backend() != "tpu",
                 )
             }
