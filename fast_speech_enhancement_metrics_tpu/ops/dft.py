@@ -187,15 +187,24 @@ def correlation_lags(
     chunks = cp.reshape(c.shape[:-1] + (k_blocks + 1, h))
 
     cos, sin = _rdft_matrices(w)
-    cos_lo, cos_hi = jnp.asarray(cos[:h]), jnp.asarray(cos[h:])
-    sin_lo, sin_hi = jnp.asarray(sin[:h]), jnp.asarray(sin[h:])
+    cos_lo = jnp.asarray(cos[:h])
+    sin_lo = jnp.asarray(sin[:h])
 
     def mm(part, m):
         return jnp.einsum("...kh,hn->...kn", part, m, precision=precision)
 
-    # spectra of the c windows (length-w blocks)
-    re_w = mm(chunks[..., :-1, :], cos_lo) + mm(chunks[..., 1:, :], cos_hi)
-    im_w = mm(chunks[..., :-1, :], sin_lo) + mm(chunks[..., 1:, :], sin_hi)
+    # Chunk spectra of the left-padded signal. Rows h..2h-1 of the w-point
+    # DFT matrix are (-1)^f times rows 0..h-1 (cos(pi f + x) = (-1)^f cos x),
+    # so the two-chunk window spectrum is a VPU combine of adjacent chunk
+    # spectra — and the y = c chunk spectra below are these same arrays
+    # shifted by one block: half the MXU FLOPs of the direct 4-matmul form.
+    re_c = mm(chunks, cos_lo)
+    im_c = mm(chunks, sin_lo)
+    sign = jnp.asarray(
+        (1.0 - 2.0 * (np.arange(n_bins) % 2)).astype(np.float32)
+    )
+    re_w = re_c[..., :-1, :] + sign * re_c[..., 1:, :]
+    im_w = im_c[..., :-1, :] + sign * im_c[..., 1:, :]
 
     # inverse rDFT evaluated only at the wanted points m = h - l:
     # r[m] = (1/w) * sum_f alpha_f * (Re S cos(2 pi f m / w) - Im S sin(...))
@@ -208,10 +217,15 @@ def correlation_lags(
 
     out = []
     for y in others:
-        yp = jnp.pad(y, pad_cfg + [(0, pad_t)])
-        yb = yp.reshape(y.shape[:-1] + (k_blocks, h))
-        re_y = mm(yb, cos_lo)
-        im_y = mm(yb, sin_lo)
+        if y is c:
+            # blocks of c (right-padded) are chunks[1:] of the left-padded
+            # view: the autocorrelation's y-spectra are already computed
+            re_y, im_y = re_c[..., 1:, :], im_c[..., 1:, :]
+        else:
+            yp = jnp.pad(y, pad_cfg + [(0, pad_t)])
+            yb = yp.reshape(y.shape[:-1] + (k_blocks, h))
+            re_y = mm(yb, cos_lo)
+            im_y = mm(yb, sin_lo)
         # S[f] = sum_k W_k[f] * conj(Y_k[f])
         s_re = jnp.sum(re_w * re_y + im_w * im_y, axis=-2)
         s_im = jnp.sum(im_w * re_y - re_w * im_y, axis=-2)
