@@ -65,6 +65,17 @@ class BaseMetric(abc.ABC):
         self.device = device
         self._jitted = jax.jit(self._compute_resampled)
 
+    def _on_tpu(self) -> bool:
+        """True when this metric's compute placement is TPU. Gates the Pallas
+        kernel paths — must check the metric's own device, NOT
+        ``jax.default_backend()``: with a TPU backend present, a metric
+        explicitly placed on CPU (tests/test_device_consistency.py) would
+        otherwise try to lower Pallas TPU kernels for the CPU backend."""
+        devices = (
+            list(self.mesh.devices.flat) if self.mesh is not None else [self.device]
+        )
+        return all(d is not None and d.platform == "tpu" for d in devices)
+
     # -- input pipeline -----------------------------------------------------
 
     def _sharding(self):

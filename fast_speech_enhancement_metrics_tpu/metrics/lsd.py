@@ -44,7 +44,7 @@ class LSD(BaseMetric):
 
     def _use_fused(self) -> bool:
         if self.spectral_impl == "auto":
-            return self.mesh is None and jax.default_backend() == "tpu"
+            return self.mesh is None and self._on_tpu()
         return self.spectral_impl == "fused"
 
     def _compute(self, clean, denoised):
@@ -62,7 +62,7 @@ class LSD(BaseMetric):
                 "LSD": lsd_scores(
                     clean, denoised, self.nfft, self.hop, self.eps,
                     frame_block=self.frame_block,
-                    interpret=jax.default_backend() != "tpu",
+                    interpret=not self._on_tpu(),
                 )
             }
 

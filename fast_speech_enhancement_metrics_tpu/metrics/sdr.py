@@ -76,9 +76,7 @@ class SDR(BaseMetric):
             r0 = r0.at[..., 0].add(self.load_diag)
 
         if self.solver == "levinson":
-            import jax
-
-            if jax.default_backend() == "tpu" and r0.ndim == 2:
+            if self._on_tpu() and r0.ndim == 2:
                 from fast_speech_enhancement_metrics_tpu.ops.levinson_pallas import (
                     levinson_solve_fused,
                 )

@@ -223,7 +223,7 @@ class STOI(BaseMetric):
         )
 
         use_fused = (
-            self.mesh is None and jax.default_backend() == "tpu"
+            self.mesh is None and self._on_tpu()
             if self.segment_impl == "auto"
             else self.segment_impl == "fused"
         )
@@ -238,7 +238,7 @@ class STOI(BaseMetric):
                 num_segments,
                 n=self.N,
                 num_bands=self.num_octave_bands,
-                interpret=jax.default_backend() != "tpu",
+                interpret=not self._on_tpu(),
             )
             stoi = stoi_sum / self.num_octave_bands
             estoi = estoi_sum / self.N
