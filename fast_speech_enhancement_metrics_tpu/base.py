@@ -34,6 +34,21 @@ def _to_numpy(audio: Any) -> np.ndarray:
     return np.asarray(audio)
 
 
+def _is_ragged(audio: Any) -> bool:
+    """True for a list/tuple of 1-D utterances with differing lengths."""
+    if not isinstance(audio, (list, tuple)) or len(audio) < 2:
+        return False
+    lengths = set()
+    for a in audio:
+        if np.isscalar(a) or (hasattr(a, "ndim") and a.ndim != 1):
+            return False
+        try:
+            lengths.add(len(a))
+        except TypeError:
+            return False
+    return len(lengths) > 1
+
+
 class BaseMetric(abc.ABC):
     """Template for all metrics.
 
@@ -135,9 +150,59 @@ class BaseMetric(abc.ABC):
         return self._run_prepared(clean, denoised)
 
     def __call__(self, clean_speech, denoised_speech) -> list[dict[str, float]]:
+        if _is_ragged(denoised_speech):
+            return self.compute_ragged(clean_speech, denoised_speech)
         scores = self.compute(clean_speech, denoised_speech)
         host = {k: np.asarray(v) for k, v in scores.items()}
         batch = next(iter(host.values())).shape[0]
         return [
             {k: float(v[i]) for k, v in host.items()} for i in range(batch)
         ]
+
+    def compute_ragged(
+        self, clean_speech, denoised_speech
+    ) -> list[dict[str, float]]:
+        """Score variable-length utterances (a production need the reference's
+        fixed-(B, T) API can't serve — unequal lengths raise there).
+
+        Utterances are grouped by **exact length** and each group runs as one
+        batched evaluation — no padding ever reaches a metric (zero-padding
+        changes PESQ/STOI/LSD values, so a pad-to-bucket scheme would
+        silently alter scores; the only deviations vs per-utterance calls are
+        batch-size-dependent XLA reassociation, identical in kind to any
+        batched call). One jitted graph per distinct length (XLA's jit
+        cache); callers who want fewer compiles can pre-pad to their own
+        buckets. ``__call__`` routes list inputs with unequal lengths here.
+        """
+        den = [_to_numpy(d).astype(np.float32) for d in denoised_speech]
+        if any(d.ndim != 1 for d in den):
+            raise ValueError("ragged inputs must be sequences of 1-D utterances")
+        if clean_speech is None:
+            cln = [None] * len(den)
+        else:
+            cln = [_to_numpy(c).astype(np.float32) for c in clean_speech]
+            if len(cln) != len(den) or any(
+                c.shape != d.shape for c, d in zip(cln, den)
+            ):
+                raise ValueError(
+                    "`clean_speech` and `denoised_speech` should have the "
+                    "same per-utterance shapes."
+                )
+
+        groups: dict[int, list[int]] = {}
+        for i, d in enumerate(den):
+            groups.setdefault(d.shape[0], []).append(i)
+
+        results: list[dict[str, float] | None] = [None] * len(den)
+        for idxs in groups.values():
+            d = np.stack([den[i] for i in idxs])
+            c = (
+                None
+                if clean_speech is None
+                else np.stack([cln[i] for i in idxs])
+            )
+            scores = self.compute(c, d)
+            host = {k: np.asarray(v) for k, v in scores.items()}
+            for row, i in enumerate(idxs):
+                results[i] = {k: float(v[row]) for k, v in host.items()}
+        return results  # type: ignore[return-value]

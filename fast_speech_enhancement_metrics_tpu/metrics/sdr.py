@@ -33,16 +33,26 @@ class SDR(BaseMetric):
         sample_rate: int = 16000,
         solver: str = "levinson",
         precision: str = "high",
+        corr_impl: str = "auto",
         **kw,
     ):
         """``precision`` feeds the correlation matmuls (the FLOP bulk):
         "high" (bf16x3, default) measures ~1e-4 dB agreement against the
-        1e-2 dB contract with half the MXU passes of "highest"."""
+        1e-2 dB contract with half the MXU passes of "highest".
+
+        ``corr_impl``: "fused" (Pallas kernel — chunk spectra never touch
+        HBM, see ops/sdr_corr_fused.py), "xla" (overlap-save matmuls), or
+        "auto" (fused on a single TPU device at the default precision, xla
+        otherwise)."""
         super().__init__(sample_rate, **kw)
         self.filter_length = 512
         self.zero_mean = False
         self.load_diag = None
         self.precision = precision
+        assert corr_impl in ("auto", "fused", "xla")
+        self.corr_impl = corr_impl
+        #: fused-kernel grid tile (chunks per Pallas grid step, multiple of 8)
+        self.chunk_block = 128
         # "levinson" (default): batched static-shape Levinson — on TPU a
         # single Pallas kernel with all recursion state in VMEM
         # (ops/levinson_pallas.py), elsewhere the XLA scan; ~1e-4 dB off
@@ -70,7 +80,27 @@ class SDR(BaseMetric):
         # autocorrelation of clean (first Toeplitz row) + cross-correlation,
         # via MXU block-DFT overlap-save (ops/dft.py) instead of one
         # 2^ceil(log2(2T-1))-point FFT — ~4x faster on TPU, same values
-        r0, b = correlation_lags(c, (c, d), corr_len, precision=self.precision)
+        use_fused = self.corr_impl == "fused" or (
+            self.corr_impl == "auto"
+            and self.mesh is None
+            and self._on_tpu()
+            and self.precision == "high"
+            and c.ndim == 2
+        )
+        if use_fused:
+            from fast_speech_enhancement_metrics_tpu.ops.sdr_corr_fused import (
+                correlation_lags_fused,
+            )
+
+            r0, b = correlation_lags_fused(
+                c, d, corr_len,
+                chunk_block=self.chunk_block,
+                interpret=not self._on_tpu(),
+            )
+        else:
+            r0, b = correlation_lags(
+                c, (c, d), corr_len, precision=self.precision
+            )
 
         if self.load_diag is not None:
             r0 = r0.at[..., 0].add(self.load_diag)

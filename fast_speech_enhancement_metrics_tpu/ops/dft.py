@@ -153,6 +153,27 @@ def framed_rdft(
     return out[..., :n_bins], out[..., n_bins:]
 
 
+@functools.lru_cache(maxsize=None)
+def _inverse_lag_matrices(h: int, n_lags: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n_bins, n_lags) inverse-rDFT matrices of the overlap-save correlation.
+
+    Inverse rDFT of a 2h-point spectrum evaluated only at the wanted points
+    m = h - l: r[m] = (1/w) * sum_f alpha_f * (Re S cos(2 pi f m / w)
+    - Im S sin(...)). Shared by the XLA path below and the fused Pallas
+    kernel (ops/sdr_corr_fused.py) so the two stay bin-exact.
+    """
+    w = 2 * h
+    n_bins = h + 1
+    m_pts = (h - np.arange(n_lags, dtype=np.float64))[None, :]
+    f_pts = np.arange(n_bins, dtype=np.float64)[:, None]
+    alpha = np.where((f_pts == 0) | (f_pts == h), 1.0, 2.0) / w
+    ang = 2.0 * np.pi * f_pts * m_pts / w
+    return (
+        (alpha * np.cos(ang)).astype(np.float32),
+        (alpha * np.sin(ang)).astype(np.float32),
+    )
+
+
 def correlation_lags(
     c: jnp.ndarray,
     others: tuple[jnp.ndarray, ...],
@@ -206,14 +227,9 @@ def correlation_lags(
     re_w = re_c[..., :-1, :] + sign * re_c[..., 1:, :]
     im_w = im_c[..., :-1, :] + sign * im_c[..., 1:, :]
 
-    # inverse rDFT evaluated only at the wanted points m = h - l:
-    # r[m] = (1/w) * sum_f alpha_f * (Re S cos(2 pi f m / w) - Im S sin(...))
-    m_pts = (h - np.arange(n_lags, dtype=np.float64))[None, :]
-    f_pts = np.arange(n_bins, dtype=np.float64)[:, None]
-    alpha = np.where((f_pts == 0) | (f_pts == h), 1.0, 2.0) / w
-    ang = 2.0 * np.pi * f_pts * m_pts / w
-    icos = jnp.asarray((alpha * np.cos(ang)).astype(np.float32))
-    isin = jnp.asarray((alpha * np.sin(ang)).astype(np.float32))
+    icos_np, isin_np = _inverse_lag_matrices(h, n_lags)
+    icos = jnp.asarray(icos_np)
+    isin = jnp.asarray(isin_np)
 
     out = []
     for y in others:

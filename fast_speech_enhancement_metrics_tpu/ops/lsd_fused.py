@@ -168,6 +168,10 @@ def lsd_scores(
     d = prep(denoised.astype(jnp.float32))
     w = jnp.asarray(_chunk_rdft_matrix(n_fft))
 
+    wspec = pl.BlockSpec(w.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (batch, nfb), lambda b, j: (0, 0), memory_space=pltpu.VMEM
+    )
     spec1 = pl.BlockSpec(
         (1, frame_block, hop), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
     )
@@ -184,11 +188,8 @@ def lsd_scores(
     partials = pl.pallas_call(
         kernel,
         grid=(batch, nfb),
-        in_specs=[spec1, spec2, spec1, spec2,
-                  pl.BlockSpec(w.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(
-            (batch, nfb), lambda b, j: (0, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=[spec1, spec2, spec1, spec2, wspec],
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((batch, nfb), jnp.float32),
         interpret=interpret,
     )(c, c, d, d, w)

@@ -57,3 +57,37 @@ def test_sdr_self_reference_saturates(speech_data):
     results = SDR()(speech_data["speech"], speech_data["speech"])
     for r in results:
         assert r["SDR"] > 40.0
+
+
+def test_ragged_lengths_match_per_utterance_calls():
+    """Variable-length list inputs route to the ragged path and match
+    per-utterance calls (a capability the reference's fixed-(B, T) API
+    lacks — unequal lengths raise there). No padding reaches any metric, so
+    the only differences are batch-size-dependent XLA fusion/reassociation
+    (the same differences any batched call has vs batch 1)."""
+    from fast_speech_enhancement_metrics_tpu import LSD, SDR
+
+    rs = np.random.RandomState(33)
+    lens = [16000, 24000, 16000, 9137]
+    clean = [rs.randn(t).astype(np.float32) for t in lens]
+    noisy = [c + 0.3 * rs.randn(len(c)).astype(np.float32) for c in clean]
+
+    for metric in (LSD(), SDR()):
+        ragged = metric(clean, noisy)
+        assert len(ragged) == len(lens)
+        for i, (c, d) in enumerate(zip(clean, noisy)):
+            single = metric(c, d)[0]
+            for k, v in single.items():
+                assert ragged[i][k] == pytest.approx(v, rel=1e-4, abs=1e-3)
+
+
+def test_ragged_equal_lengths_take_batched_path():
+    from fast_speech_enhancement_metrics_tpu import LSD
+    from fast_speech_enhancement_metrics_tpu.base import _is_ragged
+
+    rs = np.random.RandomState(34)
+    clean = [rs.randn(16000).astype(np.float32) for _ in range(3)]
+    noisy = [c + 0.1 * rs.randn(16000).astype(np.float32) for c in clean]
+    assert not _is_ragged(noisy)
+    out = LSD()(clean, noisy)
+    assert len(out) == 3

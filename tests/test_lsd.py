@@ -57,3 +57,4 @@ def test_lsd_fused_kernel_matches_xla(speech_data):
     np.testing.assert_allclose(
         [r["LSD"] for r in fused], expected, rtol=2e-4, atol=2e-4
     )
+

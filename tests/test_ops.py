@@ -239,3 +239,43 @@ def test_lfilter_fir_matches_scipy():
     want = lfilter(pb, pa, x2.astype(np.float64), axis=-1)
     got = np.asarray(lfilter_fir(x2, pb, pa))
     np.testing.assert_allclose(got, want, atol=5e-6 * np.abs(want).max())
+
+
+def test_sdr_fused_correlations_match_xla():
+    """The fused correlation kernel (ops/sdr_corr_fused.py — chunk-DFT
+    matmuls + window combine + spectral products all in VMEM) matches the
+    XLA overlap-save path; interpret mode on CPU, compiled in the
+    FSEM_TEST_TPU=1 device-consistency matrix."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_speech_enhancement_metrics_tpu.ops.dft import correlation_lags
+    from fast_speech_enhancement_metrics_tpu.ops.sdr_corr_fused import (
+        correlation_lags_fused,
+    )
+
+    rs = np.random.RandomState(21)
+    interpret = jax.default_backend() != "tpu"
+    for t in (16000, 7000):
+        c = jnp.asarray(rs.randn(3, t), jnp.float32)
+        d = jnp.asarray(0.8 * np.asarray(c) + 0.3 * rs.randn(3, t), jnp.float32)
+        r0, b = correlation_lags(c, (c, d), 512, precision="highest")
+        fa, fb = correlation_lags_fused(c, d, 512, interpret=interpret)
+        scale = float(jnp.max(jnp.abs(r0)))
+        np.testing.assert_allclose(
+            np.asarray(fa), np.asarray(r0), atol=2e-3 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(fb), np.asarray(b), atol=2e-3 * scale
+        )
+
+
+def test_sdr_fused_corr_metric_consistency():
+    from fast_speech_enhancement_metrics_tpu import SDR
+
+    rs = np.random.RandomState(22)
+    clean = rs.randn(4, 16000).astype(np.float32)
+    noisy = clean + 0.3 * rs.randn(4, 16000).astype(np.float32)
+    xla = np.array([d["SDR"] for d in SDR(corr_impl="xla")(clean, noisy)])
+    fused = np.array([d["SDR"] for d in SDR(corr_impl="fused")(clean, noisy)])
+    np.testing.assert_allclose(fused, xla, atol=5e-3)
