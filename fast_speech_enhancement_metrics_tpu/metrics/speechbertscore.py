@@ -51,6 +51,7 @@ class SpeechBERTScore(BaseMetric):
         attention_impl: str = "auto",
         host_chunk: int | None = None,
         act_dtype=None,
+        gelu: str = "auto",
         **kw,
     ):
         """``precision="default"`` = bf16 MXU passes, the TPU analogue of the
@@ -60,12 +61,24 @@ class SpeechBERTScore(BaseMetric):
         stores the encoder's activation stream in bf16 (halves its HBM
         traffic — see models/hubert.py). ``attention_impl``: "einsum" (XLA),
         "flash" (Pallas kernel — wins once sequences are long enough that the
-        (B,H,T,T) logits dominate HBM), or "auto"."""
+        (B,H,T,T) logits dominate HBM), or "auto". ``gelu="tanh"`` swaps the
+        exact erf GELU for the tanh approximation — measured F1 shift
+        2.5e-6 (tests/test_speechbertscore.py, 200x inside the reference's
+        5e-4 contract and ~200x below the bf16 class already accepted at
+        the default precision) for a large cut of the encoder's
+        transcendental VPU time (erf measured 8.4 ms/layer slower than tanh,
+        tools/prof_sbs_stages.py). ``gelu="auto"`` ties it to precision:
+        tanh on the reduced-precision default path, exact erf at
+        ``precision="highest"``."""
         super().__init__(sample_rate, **kw)
         self.config = config
         self.output_layer = output_layer
         self.precision = precision
         self.act_dtype = act_dtype
+        assert gelu in ("auto", "erf", "tanh")
+        if gelu == "auto":
+            gelu = "erf" if precision == "highest" else "tanh"
+        self.gelu = gelu
         #: attention logits are (b, 12, T, T) — chunking the utterance axis
         #: caps peak HBM for long-audio/large-batch workloads
         self.batch_chunk = batch_chunk
@@ -173,6 +186,7 @@ class SpeechBERTScore(BaseMetric):
                     precision=self.precision,
                     attention_impl=impl,
                     act_dtype=self.act_dtype,
+                    gelu=self.gelu,
                 )
             )
         encode_jitted = self._encode_jitted_by_impl[impl]
@@ -212,6 +226,7 @@ class SpeechBERTScore(BaseMetric):
                 precision=self.precision,
                 attention_impl=impl,
                 act_dtype=self.act_dtype,
+                gelu=self.gelu,
             )
 
         chunk = self.batch_chunk

@@ -84,7 +84,7 @@ def _conv1d(x, w, stride=1, padding="VALID", groups=1, precision=None):
     )
 
 
-def feature_encoder(params, audio, config: HubertConfig, precision=None):
+def feature_encoder(params, audio, config: HubertConfig, precision=None, gelu="erf"):
     """(B, T) raw audio -> (B, frames, conv_dim[-1]) conv features."""
     x = audio[..., None]  # NWC with one channel
     for i, layer in enumerate(params["feature_encoder"]):
@@ -92,11 +92,15 @@ def feature_encoder(params, audio, config: HubertConfig, precision=None):
         if "b" in layer:
             x = x + layer["b"]
         if config.feat_extract_norm == "group" and i == 0:
-            # GroupNorm(groups == channels): per-channel norm over time,
-            # stats in fp32 (51k-element reductions)
+            # GroupNorm(groups == channels): per-channel norm over time.
+            # Stats in fp32 via one-pass E[x^2]-E[x]^2 (fp32 accumulators
+            # over the 51k-frame axis) — the layer-0 feature map is the
+            # encoder's biggest tensor and a textbook two-pass mean/var
+            # re-reads it from HBM
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=1, keepdims=True)
-            var = jnp.var(xf, axis=1, keepdims=True)
+            var = jnp.mean(xf * xf, axis=1, keepdims=True) - mean * mean
+            var = jnp.maximum(var, 0.0)
             xf = (xf - mean) * lax.rsqrt(var + config.layer_norm_eps)
             x = (
                 xf * layer["norm_scale"].astype(jnp.float32)
@@ -104,7 +108,7 @@ def feature_encoder(params, audio, config: HubertConfig, precision=None):
             ).astype(x.dtype)
         elif config.feat_extract_norm == "layer":
             x = _layer_norm(x, layer["norm_scale"], layer["norm_bias"], config.layer_norm_eps)
-        x = jax.nn.gelu(x, approximate=False)
+        x = jax.nn.gelu(x, approximate=gelu == "tanh")
     return x
 
 
@@ -172,8 +176,11 @@ def _attention(p, x, num_heads, precision, impl="einsum"):
     return _matmul(ctx, p["o_w"], precision) + p["o_b"]
 
 
-def _encoder_layer(p, x, config: HubertConfig, precision, attention_impl="einsum"):
+def _encoder_layer(
+    p, x, config: HubertConfig, precision, attention_impl="einsum", gelu="erf"
+):
     eps = config.layer_norm_eps
+    approx = gelu == "tanh"
     if config.do_stable_layer_norm:
         x = x + _attention(
             p,
@@ -183,7 +190,7 @@ def _encoder_layer(p, x, config: HubertConfig, precision, attention_impl="einsum
             attention_impl,
         )
         h = _layer_norm(x, p["ln2_s"], p["ln2_b"], eps)
-        h = jax.nn.gelu(_matmul(h, p["ff_w1"], precision) + p["ff_b1"], approximate=False)
+        h = jax.nn.gelu(_matmul(h, p["ff_w1"], precision) + p["ff_b1"], approximate=approx)
         return x + (_matmul(h, p["ff_w2"], precision) + p["ff_b2"])
     # post-LN (HuBERT-base / mHuBERT-147)
     x = _layer_norm(
@@ -192,7 +199,7 @@ def _encoder_layer(p, x, config: HubertConfig, precision, attention_impl="einsum
         p["ln1_b"],
         eps,
     )
-    h = jax.nn.gelu(_matmul(x, p["ff_w1"], precision) + p["ff_b1"], approximate=False)
+    h = jax.nn.gelu(_matmul(x, p["ff_w1"], precision) + p["ff_b1"], approximate=approx)
     return _layer_norm(
         x + (_matmul(h, p["ff_w2"], precision) + p["ff_b2"]), p["ln2_s"], p["ln2_b"], eps
     )
@@ -206,6 +213,7 @@ def hubert_hidden_state(
     precision: str | None = "highest",
     attention_impl: str = "einsum",
     act_dtype=None,
+    gelu: str = "erf",
 ) -> jnp.ndarray:
     """(B, T) audio -> (B, frames, hidden) == HF ``hidden_states[output_layer]``.
 
@@ -220,11 +228,17 @@ def hubert_hidden_state(
     traffic, which is the bottleneck (the early conv feature maps and the
     (B, H, T, T) attention tensors dominate). Layer/group-norm statistics and
     softmax run fp32 in-register; the returned hidden states are fp32.
+
+    ``gelu="tanh"`` swaps HF's exact erf GELU for the tanh approximation —
+    an fp16-autocast-class numeric change (characterized on the encoder:
+    see metrics/speechbertscore.py) that removes ~15% of the encoder's
+    VPU time (erf measured 8.4 ms/layer slower than tanh on v5e,
+    tools/prof_sbs_stages.py).
     """
     if act_dtype is not None:
         params = jax.tree.map(lambda a: a.astype(act_dtype), params)
         audio = audio.astype(act_dtype)
-    x = feature_encoder(params, audio, config, precision)
+    x = feature_encoder(params, audio, config, precision, gelu=gelu)
 
     fp = params["feature_projection"]
     if config.feat_proj_layer_norm:
@@ -252,7 +266,7 @@ def hubert_hidden_state(
         x = _layer_norm(x, enc["s"], enc["b"], config.layer_norm_eps)
 
     for p in params["layers"][:output_layer]:
-        x = _encoder_layer(p, x, config, precision, attention_impl)
+        x = _encoder_layer(p, x, config, precision, attention_impl, gelu=gelu)
 
     if config.do_stable_layer_norm and output_layer == config.num_hidden_layers:
         # pre-LN stack: encoder LayerNorm applies after the FINAL layer, and

@@ -206,3 +206,28 @@ def test_speechbertscore_identical_is_one(speech_data):
     results = metric(speech_data["speech"], speech_data["speech"])
     for r in results:
         assert r["SpeechBERTScore"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_gelu_tanh_deviation_within_bf16_class(speech_data):
+    """gelu="tanh" (the fast VPU path) must stay within the same F1
+    deviation class as the already-characterized bf16 activation stream
+    (the reference's own fp16-autocast class). fp32 erf is the truth."""
+    import jax
+
+    from fast_speech_enhancement_metrics_tpu.models.hubert import (
+        MHUBERT_147_CONFIG,
+        init_params,
+    )
+
+    params = init_params(jax.random.key(0), MHUBERT_147_CONFIG)
+    clean = speech_data["speech"][:2]
+    noisy = speech_data["noisy_speech"][:2]
+    truth = SpeechBERTScore(params=params, precision="highest")(clean, noisy)
+    tanh = SpeechBERTScore(params=params, precision="highest", gelu="tanh")(
+        clean, noisy
+    )
+    dev = max(
+        abs(a["SpeechBERTScore"] - b["SpeechBERTScore"])
+        for a, b in zip(truth, tanh)
+    )
+    assert dev < 2e-3, dev  # bf16-act measured ~6e-4 on the same fixture
