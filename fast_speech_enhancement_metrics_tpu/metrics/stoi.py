@@ -36,8 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fast_speech_enhancement_metrics_tpu.base import BaseMetric
-from fast_speech_enhancement_metrics_tpu.ops.dft import framed_rdft
-from fast_speech_enhancement_metrics_tpu.ops.stft import frame as frame_op
+from fast_speech_enhancement_metrics_tpu.ops.dft import framed_rdft_center_half
 from fast_speech_enhancement_metrics_tpu.ops.stft import hann_window
 
 
@@ -90,17 +89,43 @@ class STOI(BaseMetric):
         self.window = hann_window(self.win_length + 1)[1:]
         # STFT window: the 256-tap window center-padded to 512 (torch.stft rule)
         self.stft_window = np.pad(self.window, (128, 128))
+        # bins past the top 1/3-octave band (~4.3 kHz, bin 219) never reach a
+        # band sum — trim them out of the DFT matmul, rounded so the packed
+        # 4*n_bins output is an exact multiple of 128 lanes
+        top_bin = int(np.flatnonzero(self.obm.any(axis=0))[-1]) + 1
+        self.dft_bins = -(-top_bin // 32) * 32
 
     # -- silent-frame removal (static shapes) --------------------------------
 
     def _remove_silent_frames(self, clean, denoised):
-        win = jnp.asarray(self.window)
-        c_frames = frame_op(clean, self.win_length, self.hop) * win
-        d_frames = frame_op(denoised, self.win_length, self.hop) * win
+        """Chunk-space formulation: frame f = [chunk_f | chunk_{f+1}] of the
+        hop-sized chunk grid, so frame energies decompose into per-chunk
+        partial sums and the OLA output gathers raw 128-chunks (window
+        halves applied after the gather) — the (B, F, 256) windowed-frames
+        tensors of the direct form never exist, halving the stage's HBM
+        gather traffic. Same kept-frame semantics as the reference
+        (fast_se_metrics/STOI.py:88-111), bit-for-bit window math."""
+        hop, wl = self.hop, self.win_length
+        batch, t = clean.shape
+        n_frames = 1 + (t - wl) // hop
+        n_chunks = n_frames + 1
+        wa = jnp.asarray(self.window[:hop])
+        wb = jnp.asarray(self.window[hop:])
 
+        def chunks_of(x):
+            pad = n_chunks * hop - t
+            if pad > 0:
+                x = jnp.pad(x, ((0, 0), (0, pad)))
+            return x[:, : n_chunks * hop].reshape(batch, n_chunks, hop)
+
+        xc, xd = chunks_of(clean), chunks_of(denoised)
+
+        # frame energy^2 = ||chunk_f * w_a||^2 + ||chunk_{f+1} * w_b||^2
+        e_a = jnp.sum((xc * wa) ** 2, axis=2)  # (B, C)
+        e_b = jnp.sum((xc * wb) ** 2, axis=2)
         energies = 20.0 * jnp.log10(
-            jnp.linalg.norm(c_frames, axis=2) + 1e-9
-        )
+            jnp.sqrt(e_a[:, :-1] + e_b[:, 1:]) + 1e-9
+        )  # (B, F)
         keep = (
             jnp.amax(energies, axis=1, keepdims=True) - self.dynamic_range - energies
         ) < 0  # (B, F)
@@ -109,39 +134,41 @@ class STOI(BaseMetric):
         # stable compaction: kept frames to the front, original order preserved
         order = jnp.argsort(jnp.logical_not(keep), axis=1, stable=True)
         slot_valid = (
-            jnp.arange(keep.shape[1])[None, :] < num_kept[:, None]
+            jnp.arange(n_frames)[None, :] < num_kept[:, None]
         )  # (B, F)
-        c_kept = jnp.take_along_axis(c_frames, order[:, :, None], axis=1)
-        d_kept = jnp.take_along_axis(d_frames, order[:, :, None], axis=1)
-        c_kept = c_kept * slot_valid[:, :, None]
-        d_kept = d_kept * slot_valid[:, :, None]
 
-        # 50%-overlap OLA: out chunk j = second_half[j-1] + first_half[j]
-        def ola(frames):
-            a = frames[:, :, : self.hop]
-            b = frames[:, :, self.hop :]
-            chunks = jnp.pad(a, ((0, 0), (0, 1), (0, 0))) + jnp.pad(
+        # 50%-overlap OLA over kept frames: out chunk j sums the w_b half of
+        # kept frame j-1 (raw chunk order[j-1]+1) and the w_a half of kept
+        # frame j (raw chunk order[j])
+        def ola(xx):
+            a = jnp.take_along_axis(xx, order[:, :, None], axis=1)
+            a = a * wa * slot_valid[:, :, None]
+            b = jnp.take_along_axis(xx, order[:, :, None] + 1, axis=1)
+            b = b * wb * slot_valid[:, :, None]
+            out = jnp.pad(a, ((0, 0), (0, 1), (0, 0))) + jnp.pad(
                 b, ((0, 0), (1, 0), (0, 0))
             )
-            return chunks.reshape(frames.shape[0], -1)
+            return out.reshape(batch, -1)
 
-        lengths = (num_kept + 1) * self.hop
-        return ola(c_kept), ola(d_kept), lengths
+        lengths = (num_kept + 1) * hop
+        return ola(xc), ola(xd), lengths
 
     # -- spectral front-end ---------------------------------------------------
 
     def _band_envelopes(self, speech, lengths):
         """(2B, T') -> sqrt third-octave band energies (2B, F_spec, 15), masked."""
         # MXU framed DFT with the 256-tap window center-padded to 512
-        # (torch.stft rule); framing fused into the matmuls (ops/dft.py).
+        # (torch.stft rule). The center-half chunk factorization shares each
+        # hop-chunk's windowed DFT between the two frames that contain it —
+        # half the MXU FLOPs of the shift-decomposed framed_rdft (ops/dft.py).
         # bf16x3 ("high") passes: ~1e-6 relative DFT error against a 5e-4
         # score contract with 1.6e-7 measured headroom — 2x fewer MXU passes
         # than "highest" (verified on-chip vs the float64 oracle)
-        re, im = framed_rdft(
+        re, im = framed_rdft_center_half(
             speech, self.n_fft, self.hop, window=self.stft_window,
-            precision="high",
+            precision="high", n_bins=self.dft_bins,
         )
-        power = re * re + im * im  # (2B, F_spec, 257)
+        power = re * re + im * im  # (2B, F_spec, dft_bins)
 
         spec_lengths = 1 + (lengths - self.n_fft) // self.hop
         t_idx = jnp.arange(power.shape[1])
@@ -149,7 +176,12 @@ class STOI(BaseMetric):
         power = power * valid[:, :, None]
 
         tob = jnp.sqrt(
-            jnp.einsum("bfk,jk->bfj", power, jnp.asarray(self.obm), precision="highest")
+            jnp.einsum(
+                "bfk,jk->bfj",
+                power,
+                jnp.asarray(self.obm[:, : self.dft_bins]),
+                precision="highest",
+            )
         )
         return tob  # (2B, F_spec, 15)
 

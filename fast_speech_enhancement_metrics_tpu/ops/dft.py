@@ -154,6 +154,124 @@ def framed_rdft(
 
 
 @functools.lru_cache(maxsize=None)
+def _chunk_rdft_matrix_packed(n_fft: int) -> np.ndarray:
+    """(n_fft/2, n_fft) packed cos|sin chunk-DFT matrix, exact lane tiles.
+
+    Like ``_chunk_rdft_matrix`` but carrying only bins 0..n_fft/2-1 so the
+    packed output is exactly ``n_fft`` columns (4x128 lanes at n_fft=512 —
+    the 516-column variant pads to 640 lanes on the MXU, a 20% waste). The
+    Nyquist bin is the alternating-sign chunk sum (VPU) and the guard bin
+    k = n_fft/2+1 is conj(bin n_fft/2-1) by Hermitian symmetry; the fused
+    LSD kernel (ops/lsd_fused.py) reconstructs both.
+    """
+    hop = n_fft // 2
+    nb = n_fft // 2
+    t = np.arange(hop, dtype=np.float64)[:, None]
+    f = np.arange(nb, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * t * f / n_fft
+    return np.concatenate([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _split_window_chunk_matrices(
+    n_fft: int, window_key: tuple, n_bins: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Packed windowed chunk-DFT matrix + combine constants for
+    ``framed_rdft_center_half``.
+
+    For a window supported on the middle half of the frame (taps
+    [hop, 3*hop) with hop = n_fft/4 — STOI's 256-tap Hann center-padded to
+    512), frame f is chunk_{f+1}·w_a at offset hop plus chunk_{f+2}·w_b at
+    offset 2*hop, so the windowed frame spectrum is
+
+        X_f[k] = B1_{f+1}[k]·e^{-i·pi·k/2} + B2_{f+2}[k]·(-1)^k
+
+    with B1/B2 the DFTs of the w_a/w_b-windowed chunks. Returns the
+    (hop, 4*n_bins) packed [w_a·cos | w_a·sin | w_b·cos | w_b·sin] matrix
+    and the (n_bins,) combine constants (cos, sin of -pi*k/2, (-1)^k).
+
+    ``n_bins`` may be below the one-sided count to trim never-consumed high
+    bins out of the matmul (STOI's 1/3-octave bands stop at ~4.3 kHz, bin
+    219 of 257 — the trim packs the matmul to exact 128-lane tiles).
+    """
+    hop = n_fft // 4
+    w = np.asarray(window_key, dtype=np.float64)
+    assert w.shape == (n_fft,)
+    assert not (w[:hop].any() or w[3 * hop :].any()), (
+        "window must be supported on the middle half of the frame"
+    )
+    t = np.arange(n_fft, dtype=np.float64)[:, None]
+    f = np.arange(n_bins, dtype=np.float64)[None, :]
+    ang = -2.0 * np.pi * t * f / n_fft
+    cos64, sin64 = np.cos(ang), np.sin(ang)
+    wa = w[hop : 2 * hop, None]
+    wb = w[2 * hop : 3 * hop, None]
+    packed = np.concatenate(
+        [
+            wa * cos64[:hop],
+            wa * sin64[:hop],
+            wb * cos64[:hop],
+            wb * sin64[:hop],
+        ],
+        axis=1,
+    ).astype(np.float32)
+    k = np.arange(n_bins, dtype=np.float64)
+    cr = np.cos(-np.pi * k / 2).round().astype(np.float32)  # 1,0,-1,0,..
+    ci = np.sin(-np.pi * k / 2).round().astype(np.float32)  # 0,-1,0,1,..
+    s2 = ((-1.0) ** k).astype(np.float32)
+    return packed, cr, ci, s2
+
+
+def framed_rdft_center_half(
+    x: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    window: np.ndarray,
+    precision: str = "highest",
+    n_bins: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Framed real DFT for windows supported on the frame's middle half.
+
+    Same spectra as ``framed_rdft`` (verified to fp32 rounding in
+    tests/test_stoi.py) at **half the MXU FLOPs**: each hop-chunk gets ONE
+    (hop, 4*n_bins) windowed-DFT matmul shared by the two frames that
+    contain it, and frame spectra are VPU phase-combines of adjacent chunk
+    spectra. Built for STOI's 512-point / hop-128 STFT whose 256-tap Hann
+    (reference: fast_se_metrics/STOI.py:24,49-69) is center-padded, making
+    shifts 0 and 3 zero and shifts 1, 2 the two window halves.
+    """
+    assert n_fft == 4 * hop, "center-half factorization requires hop = n_fft/4"
+    if n_bins is None:
+        n_bins = n_fft // 2 + 1
+    assert n_bins <= n_fft // 2 + 1
+    window_key = tuple(np.asarray(window, dtype=np.float64).tolist())
+    packed, cr, ci, s2 = _split_window_chunk_matrices(n_fft, window_key, n_bins)
+
+    t = x.shape[-1]
+    f = num_frames(t, n_fft, hop)
+    if f <= 0:
+        shape = x.shape[:-1] + (0, n_bins)
+        return jnp.zeros(shape, x.dtype), jnp.zeros(shape, x.dtype)
+    n_chunks = f + 2  # chunk indices 1 .. f+1 are consumed
+    usable = (n_chunks + 1) * hop
+    if usable > t:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, usable - t)])
+    chunks = x[..., :usable].reshape(x.shape[:-1] + (n_chunks + 1, hop))
+
+    b = jnp.einsum(
+        "...ch,hn->...cn", chunks, jnp.asarray(packed), precision=precision
+    )
+    b1re = b[..., 1 : f + 1, 0 * n_bins : 1 * n_bins]
+    b1im = b[..., 1 : f + 1, 1 * n_bins : 2 * n_bins]
+    b2re = b[..., 2 : f + 2, 2 * n_bins : 3 * n_bins]
+    b2im = b[..., 2 : f + 2, 3 * n_bins : 4 * n_bins]
+    crj, cij, s2j = jnp.asarray(cr), jnp.asarray(ci), jnp.asarray(s2)
+    re = b1re * crj - b1im * cij + s2j * b2re
+    im = b1re * cij + b1im * crj + s2j * b2im
+    return re, im
+
+
+@functools.lru_cache(maxsize=None)
 def _inverse_lag_matrices(h: int, n_lags: int) -> tuple[np.ndarray, np.ndarray]:
     """(n_bins, n_lags) inverse-rDFT matrices of the overlap-save correlation.
 

@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fast_speech_enhancement_metrics_tpu.ops.dft import _chunk_rdft_matrix
+from fast_speech_enhancement_metrics_tpu.ops.dft import _chunk_rdft_matrix_packed
 from fast_speech_enhancement_metrics_tpu.ops.stft import num_frames
 
 
@@ -43,7 +43,7 @@ def _lsd_kernel(
     c2_ref,  # (1, FB, hop) clean chunks of block j+1 (boundary row)
     d1_ref,  # (1, FB, hop) denoised chunks, block j
     d2_ref,  # (1, FB, hop) denoised chunks, block j+1
-    w_ref,  # (hop, 2*(n_bins+1)) packed cos|sin chunk-DFT matrix
+    w_ref,  # (hop, n_fft) packed cos|sin chunk-DFT matrix, bins 0..n_fft/2-1
     out_ref,  # (B, NFB) accumulator: per-(batch, block) frame sums
     *,
     frame_block: int,
@@ -79,42 +79,56 @@ def _lsd_kernel(
         return mm(xh, wh) + mm(xh, wl) + mm(xl, wh)
 
     def windowed_mag_sq(b1, b2):
-        # chunk DFT: rows j*FB .. j*FB+FB  ->  (FB+1, 2*(nb+1))
+        # chunk DFT: rows j*FB .. j*FB+FB  ->  (FB+1, 2*nb), bins 0..nb-1
+        # (the packed matrix carries no Nyquist/guard columns so the matmul
+        # is exact 128-lane tiles; both are reconstructed on the VPU below)
         chunks = jnp.concatenate([b1[0], b2[0][:1]], axis=0)
         a = dot_f32(chunks, w_ref[:])
-        nb = a.shape[-1] // 2  # n_bins + 1 (one guard bin)
+        nb = a.shape[-1] // 2  # n_fft/2: bins 0 .. nb-1
         sign = 1.0 - 2.0 * (
             jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) % 2
         ).astype(jnp.float32)
         are, aim = a[:, :nb], a[:, nb:]
-        # unwindowed frame spectrum via the (-1)^k chunk combination
+        # chunk Nyquist bin (k = nb): real alternating-sign sum of samples
+        alt = 1.0 - 2.0 * (
+            jax.lax.broadcasted_iota(jnp.int32, chunks.shape, 1) % 2
+        ).astype(jnp.float32)
+        anyq = jnp.sum(chunks * alt, axis=1, keepdims=True)  # (FB+1, 1)
+        # unwindowed frame spectrum via the (-1)^k chunk combination;
+        # (-1)^nb = +1 at the (even) Nyquist bin
         xre = are[:-1] + sign * are[1:]
         xim = aim[:-1] + sign * aim[1:]
-        # periodic-Hann as an exact 3-tap frequency-domain convolution;
-        # bin 0 uses X[-1] = conj(X[1]), and Xim[0] is exactly 0 (the k=0
-        # sin column is zero), so Yim[0] = 0
-        yre = jnp.concatenate(
-            [
-                0.5 * xre[:, :1] - 0.5 * xre[:, 1:2],
-                0.5 * xre[:, 1:-1] - 0.25 * (xre[:, :-2] + xre[:, 2:]),
-            ],
+        xnyq = anyq[:-1] + anyq[1:]  # X[nb], imaginary part exactly 0
+        # periodic-Hann as an exact 3-tap frequency-domain convolution.
+        # Interior bins 1..nb-2 from the lane arrays; boundary bins use
+        # X[-1] = conj(X[1]) (so Yim[0] = 0), the real X[nb], and
+        # X[nb+1] = conj(X[nb-1]) (so Yim[nb] = 0).
+        yre_i = 0.5 * xre[:, 1:-1] - 0.25 * (xre[:, :-2] + xre[:, 2:])
+        yim_i = 0.5 * xim[:, 1:-1] - 0.25 * (xim[:, :-2] + xim[:, 2:])
+        m_int = yre_i * yre_i + yim_i * yim_i  # (FB, nb-2): bins 1..nb-2
+        y0 = 0.5 * xre[:, :1] - 0.5 * xre[:, 1:2]
+        ylo_re = 0.5 * xre[:, -1:] - 0.25 * (xre[:, -2:-1] + xnyq)
+        ylo_im = 0.5 * xim[:, -1:] - 0.25 * xim[:, -2:-1]
+        ynyq = 0.5 * xnyq - 0.5 * xre[:, -1:]
+        m_edge = jnp.concatenate(
+            [y0 * y0, ylo_re * ylo_re + ylo_im * ylo_im, ynyq * ynyq],
             axis=1,
-        )
-        yim = jnp.concatenate(
-            [
-                jnp.zeros_like(xim[:, :1]),
-                0.5 * xim[:, 1:-1] - 0.25 * (xim[:, :-2] + xim[:, 2:]),
-            ],
-            axis=1,
-        )
-        return yre * yre + yim * yim  # (FB, n_bins)
+        )  # (FB, 3): bins 0, nb-1, nb
+        return m_int, m_edge
 
-    c_sq = windowed_mag_sq(c1_ref, c2_ref)
-    d_sq = windowed_mag_sq(d1_ref, d2_ref)
+    c_int, c_edge = windowed_mag_sq(c1_ref, c2_ref)
+    d_int, d_edge = windowed_mag_sq(d1_ref, d2_ref)
 
-    d_mag = jnp.sqrt(d_sq) + eps
-    log_ratio = jnp.log(c_sq / (d_mag * d_mag) + eps)
-    frame_ms = jnp.mean(log_ratio * log_ratio, axis=1)  # (FB,)
+    def sq_log_ratio(c_sq, d_sq):
+        d_mag = jnp.sqrt(d_sq) + eps
+        log_ratio = jnp.log(c_sq / (d_mag * d_mag) + eps)
+        return log_ratio * log_ratio
+
+    n_bins_total = c_int.shape[1] + 3  # n_fft/2 + 1 one-sided bins
+    frame_ms = (
+        jnp.sum(sq_log_ratio(c_int, d_int), axis=1)
+        + jnp.sum(sq_log_ratio(c_edge, d_edge), axis=1)
+    ) / n_bins_total  # (FB,)
 
     frame_idx = j * frame_block + jax.lax.broadcasted_iota(
         jnp.int32, (1, frame_block), 1
@@ -166,7 +180,7 @@ def lsd_scores(
 
     c = prep(clean.astype(jnp.float32))
     d = prep(denoised.astype(jnp.float32))
-    w = jnp.asarray(_chunk_rdft_matrix(n_fft))
+    w = jnp.asarray(_chunk_rdft_matrix_packed(n_fft))
 
     wspec = pl.BlockSpec(w.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(

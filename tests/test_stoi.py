@@ -59,6 +59,31 @@ def test_stoi_monotonic_in_snr(high_snr_speech_data, low_snr_speech_data):
         assert np.mean([r[key] for r in hi]) > np.mean([r[key] for r in lo])
 
 
+def test_framed_rdft_center_half_matches_shift_form():
+    """The center-half chunk factorization (ops/dft.py — one windowed
+    (hop, 4*n_bins) matmul per chunk, shared by both frames containing it)
+    is the same transform as the shift-decomposed framed DFT to fp32
+    rounding, for STOI's exact window layout."""
+    from fast_speech_enhancement_metrics_tpu.ops.dft import (
+        framed_rdft,
+        framed_rdft_center_half,
+    )
+
+    m = STOI(sample_rate=10000)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 7 * 128 + 512)).astype(np.float32)
+    re_a, im_a = framed_rdft(
+        x, m.n_fft, m.hop, window=m.stft_window, precision="highest"
+    )
+    re_b, im_b = framed_rdft_center_half(
+        x, m.n_fft, m.hop, window=m.stft_window, precision="highest"
+    )
+    assert re_a.shape == re_b.shape
+    scale = float(np.abs(np.asarray(re_a)).max())
+    np.testing.assert_allclose(np.asarray(re_b), np.asarray(re_a), atol=2e-5 * scale)
+    np.testing.assert_allclose(np.asarray(im_b), np.asarray(im_a), atol=2e-5 * scale)
+
+
 def test_stoi_fused_kernel_matches_xla(speech_data):
     """The fused Pallas segment kernel (ops/stoi_fused.py — sliding segments
     never materialized, lane-shift accumulation in VMEM) matches the XLA
