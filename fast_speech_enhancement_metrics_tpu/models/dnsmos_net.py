@@ -23,8 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from fast_speech_enhancement_metrics_tpu.ops.stft import frame
-
 DEFAULT_CHECKPOINT = (
     Path(__file__).parent.parent / "checkpoints" / "dnsmos_sig_bak_ovr.npz"
 )
@@ -47,23 +45,44 @@ def load_params(path: str | Path = DEFAULT_CHECKPOINT, dtype=jnp.float32):
 
 
 def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x2/2 max pool over the (H, W) axes of NHWC, floor (VALID) semantics."""
+    """2x2/2 max pool over the (H, W) axes of NHWC, floor (VALID) semantics.
+
+    Lowered as a reshape + two maxes: measured 3.3 ms vs 11.2 ms for
+    ``lax.reduce_window`` at DNSMOS pool1's (64, 1600, 161, 32) bf16 shape
+    (tools/prof_pool_ab.py) — XLA's reduce-window lowering is ~4x off the
+    HBM-bandwidth floor on TPU, the reshape form is within ~1.4x.
+    """
     h, w = x.shape[1] // 2 * 2, x.shape[2] // 2 * 2
-    return lax.reduce_window(
-        x[:, :h, :w, :],
-        -jnp.inf,
-        lax.max,
-        window_dimensions=(1, 2, 2, 1),
-        window_strides=(1, 2, 2, 1),
-        padding="VALID",
-    )
+    v = x[:, :h, :w, :].reshape(x.shape[0], h // 2, 2, w // 2, 2, x.shape[3])
+    return jnp.max(jnp.max(v, axis=4), axis=2)
 
 
 def _log_power_features(params, audio, precision):
-    """(N, T) -> (N, frames, 161) log power via the learned STFT."""
-    frames = frame(audio, 320, 160)
-    real = jnp.einsum("nfk,kr->nfr", frames, params["stft_real"], precision=precision)
-    imag = jnp.einsum("nfk,kr->nfr", frames, params["stft_imag"], precision=precision)
+    """(N, T) -> (N, frames, 161) log power via the learned STFT.
+
+    The 320-sample frames overlap 50% (hop 160), so frame f is
+    [chunk_f | chunk_{f+1}] of the zero-copy (T/160, 160) chunk reshape and
+    the learned transform splits into top/bottom halves applied to adjacent
+    chunks — one packed MXU matmul on the chunks, never materializing the
+    (N, frames, 320) gather (~205 MB at batch 64 x 16 s).
+    """
+    n_chunks = audio.shape[1] // 160
+    f = n_chunks - 1
+    chunks = audio[:, : n_chunks * 160].reshape(audio.shape[0], n_chunks, 160)
+    # packed (160, 644): [real_top | imag_top | real_bot | imag_bot]
+    w = jnp.concatenate(
+        [
+            params["stft_real"][:160],
+            params["stft_imag"][:160],
+            params["stft_real"][160:],
+            params["stft_imag"][160:],
+        ],
+        axis=1,
+    )
+    a = jnp.einsum("nck,kr->ncr", chunks, w, precision=precision)
+    nb = params["stft_real"].shape[1]
+    real = a[:, :f, 0 * nb : 1 * nb] + a[:, 1:, 2 * nb : 3 * nb]
+    imag = a[:, :f, 1 * nb : 2 * nb] + a[:, 1:, 3 * nb : 4 * nb]
     power = jnp.square(real) + jnp.square(imag)
     return jnp.log10(jnp.maximum(power, 1e-12))
 

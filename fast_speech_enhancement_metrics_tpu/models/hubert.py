@@ -152,16 +152,21 @@ def _attention(p, x, num_heads, precision, impl="einsum"):
     k = split(_matmul(x, p["k_w"], precision) + p["k_b"])
     v = split(_matmul(x, p["v_w"], precision) + p["v_b"])
 
-    if impl == "flash":
+    if impl in ("flash", "sdpa"):
+        kernel = _flash_sdpa
+        if impl == "sdpa":
+            from fast_speech_enhancement_metrics_tpu.ops.sdpa_pallas import sdpa
+
+            kernel = sdpa
         if precision in (None, "default"):
             # Mosaic lowers fp32 matmuls to multi-pass; at default precision
             # feed the kernel bf16 operands (same fidelity class as the bf16
             # MXU einsum path) and take the fp32 softmax-accumulated output
             out_dtype = q.dtype
             q, k, v = (a.astype(jnp.bfloat16) for a in (q, k, v))
-            ctx = _flash_sdpa(q, k, v, scaling).astype(out_dtype)
+            ctx = kernel(q, k, v, scaling).astype(out_dtype)
         else:
-            ctx = _flash_sdpa(q, k, v, scaling)
+            ctx = kernel(q, k, v, scaling)
     else:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * scaling, k, precision=precision)
         # softmax in fp32 regardless of the activation dtype; with bf16

@@ -39,38 +39,155 @@ def _levinson_kernel(r1_ref, bn_ref, out_ref, *, n: int):
     r1 = r1_ref[:]  # (B, n): normalized tail r[1:]/r[0], lane n-1 zero
     bn = bn_ref[:]  # (B, n): normalized rhs b/r[0]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, r1.shape, 1)
-    e0 = (col == 0).astype(jnp.float32)
+    batch = r1.shape[0]
 
-    u0 = e0
-    x0 = bn * e0  # x starts as [b0, 0, ...]
-    v0, y0 = u0, x0
+    def make_step(m: int):
+        """Recursion step on width-``m`` state slices.
 
-    def shift_right(a):
-        return jnp.pad(a, ((0, 0), (1, 0)))[:, :-1]
+        After step k every carry is supported on lanes <= k+1 and the step
+        itself touches nothing past lane k+1, so while k <= m-2 the whole
+        update is exact on the (B, m) prefix — lanes beyond m are zeros
+        that would multiply into the reductions as zeros. Early phases
+        therefore run on 1/4 .. 3/4 of the vregs (~40% less VPU work over
+        the full recursion than the flat-width loop).
+        """
+        r1m = r1[:, :m]
+        bnm = bn[:, :m]
+        colm = jax.lax.broadcasted_iota(jnp.int32, (batch, m), 1)
+        not_first = (colm != 0).astype(jnp.float32)
 
-    def step(k, carry):
-        u, v, x, y = carry
-        ef = jnp.sum(r1 * v, axis=1, keepdims=True)
-        # b[k+1] extraction and the <r1, y> dot share one fused reduce
-        sel = (col == k + 1).astype(jnp.float32)
-        mu = jnp.sum(sel * bn - r1 * y, axis=1, keepdims=True)
-        denom = 1.0 - ef * ef
-        denom = jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
-        recip = 1.0 / denom
-        g = shift_right(v)
-        u_new = (u - ef * g) * recip
-        v_new = (g - ef * u) * recip
-        x_new = x + mu * v_new
-        y_new = shift_right(y) + mu * u_new
-        return u_new, v_new, x_new, y_new
+        def shift_right(a):
+            # pltpu.roll keeps the result at vreg lane offset 0 — a pad+slice
+            # shift leaves the array at offset 1 and every elementwise op
+            # mixing it with offset-0 arrays forces a Mosaic relayout (the
+            # same pathology ops/sdr_corr_fused.py documents); the wrapped
+            # last lane is zeroed by the mask
+            return pltpu.roll(a, shift=1, axis=1) * not_first
 
-    _, _, x, _ = jax.lax.fori_loop(0, n - 1, step, (u0, v0, x0, y0))
+        def step(k, carry):
+            u, v, x, y = carry
+            ef = jnp.sum(r1m * v, axis=1, keepdims=True)
+            # b[k+1] extraction and the <r1, y> dot share one fused reduce
+            sel = (colm == k + 1).astype(jnp.float32)
+            mu = jnp.sum(sel * bnm - r1m * y, axis=1, keepdims=True)
+            denom = 1.0 - ef * ef
+            denom = jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+            recip = 1.0 / denom
+            g = shift_right(v)
+            u_new = (u - ef * g) * recip
+            v_new = (g - ef * u) * recip
+            x_new = x + mu * v_new
+            y_new = shift_right(y) + mu * u_new
+            return u_new, v_new, x_new, y_new
+
+        return step
+
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (batch, min(128, n)), 1)
+    e0 = (col0 == 0).astype(jnp.float32)
+    u = e0
+    x = bn[:, : min(128, n)] * e0  # x starts as [b0, 0, ...]
+    v, y = u, x
+
+    # phase bounds: steps k = start..stop-1 run at width m (k <= m-2 keeps
+    # every lane access inside the slice); widths grow by the 128-lane vreg
+    # quantum since narrower slices occupy full vregs anyway
+    start = 0
+    for m in range(128, n + 1, 128):
+        stop = min(m - 1, n - 1)
+        if stop > start:
+            pad = m - u.shape[1]
+            if pad:
+                u, v, x, y = (
+                    jnp.pad(a, ((0, 0), (0, pad))) for a in (u, v, x, y)
+                )
+            u, v, x, y = jax.lax.fori_loop(
+                start, stop, make_step(m), (u, v, x, y)
+            )
+            start = stop
+    out_ref[:] = x
+
+
+def _levinson_kernel_dotreduce(r1_ref, bn_ref, out_ref, *, n: int):
+    """Levinson recursion with the per-step lane reductions on the MXU.
+
+    The VPU-reduce kernel above spends most of each step in two cross-lane
+    reductions (<r1, v> and <r1, y>); here both come from ONE narrow matmul
+    [v; y] @ r1^T per step, and the b[k+1] lane extraction is a carried
+    left-roll of bn (lane 0 is always the wanted element — aligned slice,
+    no relayout, no onehot reduce).
+    """
+    r1 = r1_ref[:]  # (B, n)
+    bn = bn_ref[:]
+
+    batch = r1.shape[0]
+
+    def make_step(m: int):
+        r1m = r1[:, :m]
+        colm = jax.lax.broadcasted_iota(jnp.int32, (batch, m), 1)
+        not_first = (colm != 0).astype(jnp.float32)
+
+        def shift_right(a):
+            return pltpu.roll(a, shift=1, axis=1) * not_first
+
+        def step(k, carry):
+            u, v, x, y, bnc = carry
+            vy = jnp.concatenate([v, y], axis=0)  # (2B, m), 8-aligned
+            s = jax.lax.dot_general(
+                vy,
+                r1m,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (2B, B): column j = <r1[j], .>; diag picks the own-batch dot
+            # extract the matched-batch entries: row i pairs with column
+            # i % B — one masked row-reduce over B lanes
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            diag = jnp.sum(
+                jnp.where(rows % batch == cols, s, 0.0), axis=1, keepdims=True
+            )  # (2B, 1)
+            ef = diag[:batch]
+            ry = diag[batch:]
+            mu = bnc[:, :1] - ry
+            denom = 1.0 - ef * ef
+            denom = jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+            recip = 1.0 / denom
+            g = shift_right(v)
+            u_new = (u - ef * g) * recip
+            v_new = (g - ef * u) * recip
+            x_new = x + mu * v_new
+            y_new = shift_right(y) + mu * u_new
+            return u_new, v_new, x_new, y_new, pltpu.roll(bnc, shift=n - 1, axis=1)
+
+        return step
+
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (batch, min(128, n)), 1)
+    e0 = (col0 == 0).astype(jnp.float32)
+    u = e0
+    x = bn[:, : min(128, n)] * e0
+    v, y = u, x
+    bnc = pltpu.roll(bn, shift=n - 1, axis=1)  # left-roll by 1: lane 0 = b[1]
+
+    start = 0
+    for m in range(128, n + 1, 128):
+        stop = min(m - 1, n - 1)
+        if stop > start:
+            pad = m - u.shape[1]
+            if pad:
+                u, v, x, y = (
+                    jnp.pad(a, ((0, 0), (0, pad))) for a in (u, v, x, y)
+                )
+            u, v, x, y, bnc = jax.lax.fori_loop(
+                start, stop, make_step(m), (u, v, x, y, bnc)
+            )
+            start = stop
     out_ref[:] = x
 
 
 def levinson_solve_fused(
-    r0: jnp.ndarray, b: jnp.ndarray, interpret: bool = False
+    r0: jnp.ndarray,
+    b: jnp.ndarray,
+    interpret: bool = False,
+    variant: str = "vpu",
 ) -> jnp.ndarray:
     """Solve T(r0) x = b, batched: r0, b (B, n) -> x (B, n), fp32.
 
@@ -95,8 +212,11 @@ def levinson_solve_fused(
         r1 = jnp.pad(r1, ((0, pad_b), (0, 0)))
         bn = jnp.pad(bn, ((0, pad_b), (0, 0)))
 
+    kernel = {"vpu": _levinson_kernel, "dotreduce": _levinson_kernel_dotreduce}[
+        variant
+    ]
     x = pl.pallas_call(
-        functools.partial(_levinson_kernel, n=n),
+        functools.partial(kernel, n=n),
         out_shape=jax.ShapeDtypeStruct(r1.shape, jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),

@@ -3,10 +3,10 @@
 The XLA formulation (metrics/lsd.py ``_compute``) is HBM-bound: the framed
 spectrogram of the clean/denoised pair is a (2B, ~1000, 514)-float tensor
 (~0.5 GB at batch 64) written by the DFT matmuls and re-read by the
-log-ratio chain. This kernel never materializes it — band magnitudes live
-only in VMEM and each grid step emits one partial frame-sum scalar.
+log-ratio chain. These kernels never materialize it — band magnitudes live
+only in VMEM.
 
-Two structural ideas (reference semantics anchor: fast_se_metrics/LSD.py:18-52):
+Shared structural ideas (reference semantics anchor: fast_se_metrics/LSD.py:18-52):
 
 * **Shared-chunk DFT.** With hop = n_fft/2, frame f = [chunk_f | chunk_{f+1}]
   and the right half's n_fft-point phase shift is e^{-i*pi*k} = (-1)^k, so
@@ -18,10 +18,20 @@ Two structural ideas (reference semantics anchor: fast_se_metrics/LSD.py:18-52):
   convolution Y[k] = 0.5 X[k] - 0.25 (X[k-1] + X[k+1]) on the VPU
   (X[-1] = conj(X[1]) by Hermitian symmetry of the real input).
 
-Grid: (batch, frame-blocks). Frame blocks need chunks [j*FB, j*FB + FB]
-(one chunk of overlap); overlapping windows aren't expressible with one
-BlockSpec, so the chunk array is passed twice with index maps (b, j) and
-(b, j+1) and the kernel stitches the boundary row.
+Two kernels:
+
+* **Whole-signal** (default for clips up to ~60 s): grid = (batch,); each
+  step loads one pair's full (n_chunks, hop) arrays (~2 MB fp32 at 16 s)
+  straight from the zero-copy chunk reshape and runs ONE M≈2*n_chunks
+  chunk-DFT matmul per signal. No frame-block boundaries, no overlap
+  copies. A stage-decomposition probe (tools/prof_lsd_r3b.py) showed the
+  round-2 frame-blocked kernel spent 86% of its time in the DFT stage at
+  ~25% MXU — six M=257 matmuls per grid step left the systolic array
+  fill/drain-bound, and a halo-materializing rewrite lost its win to
+  ~350 MB of extra HBM round-trips (tools/prof_lsd_pb.py).
+* **Frame-blocked** (long-audio fallback): the round-2 kernel — grid
+  (batch, frame-blocks), overlapping windows via two index-mapped views of
+  the chunk array, boundary row stitched in-kernel.
 """
 
 from __future__ import annotations
@@ -37,8 +47,145 @@ from jax.experimental.pallas import tpu as pltpu
 from fast_speech_enhancement_metrics_tpu.ops.dft import _chunk_rdft_matrix_packed
 from fast_speech_enhancement_metrics_tpu.ops.stft import num_frames
 
+#: whole-signal kernel cutover: n_chunks above this (≈66 s of 16 kHz audio at
+#: hop 256) overflows the ~16 MB VMEM budget for the per-pair arrays, and the
+#: frame-blocked kernel takes over
+MAX_WHOLESIG_CHUNKS = 4096
 
-def _lsd_kernel(
+
+def _dot_f32(x, w, precision):
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "default":
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            dims,
+            preferred_element_type=jnp.float32,
+        )
+    # bf16x3 (XLA's Precision.HIGH, which Mosaic doesn't lower
+    # directly): hi/lo bf16 split, drop the lo*lo term — three MXU
+    # passes for ~f32-class products
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    wh = w.astype(jnp.bfloat16)
+    wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(p, q):
+        return jax.lax.dot_general(p, q, dims, preferred_element_type=jnp.float32)
+
+    return mm(xh, wh) + mm(xh, wl) + mm(xl, wh)
+
+
+def _windowed_mag_sq(a, chunks):
+    """(F+1, 2nb) packed chunk spectra + (F+1, hop) chunks -> windowed |X|^2
+    as (F, nb-2) interior bins and (F, 3) edge bins (bins 0, nb-1, nb)."""
+    nb = a.shape[-1] // 2
+    sign = 1.0 - 2.0 * (
+        jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) % 2
+    ).astype(jnp.float32)
+    are, aim = a[:, :nb], a[:, nb:]
+    # chunk Nyquist bin (k = nb): real alternating-sign sum of samples
+    alt = 1.0 - 2.0 * (
+        jax.lax.broadcasted_iota(jnp.int32, chunks.shape, 1) % 2
+    ).astype(jnp.float32)
+    anyq = jnp.sum(chunks * alt, axis=1, keepdims=True)  # (F+1, 1)
+    # unwindowed frame spectrum via the (-1)^k chunk combination;
+    # (-1)^nb = +1 at the (even) Nyquist bin
+    xre = are[:-1] + sign * are[1:]
+    xim = aim[:-1] + sign * aim[1:]
+    xnyq = anyq[:-1] + anyq[1:]  # X[nb], imaginary part exactly 0
+    # periodic-Hann as an exact 3-tap frequency-domain convolution.
+    # Interior bins 1..nb-2 from the lane arrays; boundary bins use
+    # X[-1] = conj(X[1]) (so Yim[0] = 0), the real X[nb], and
+    # X[nb+1] = conj(X[nb-1]) (so Yim[nb] = 0).
+    yre_i = 0.5 * xre[:, 1:-1] - 0.25 * (xre[:, :-2] + xre[:, 2:])
+    yim_i = 0.5 * xim[:, 1:-1] - 0.25 * (xim[:, :-2] + xim[:, 2:])
+    m_int = yre_i * yre_i + yim_i * yim_i  # (F, nb-2): bins 1..nb-2
+    y0 = 0.5 * xre[:, :1] - 0.5 * xre[:, 1:2]
+    ylo_re = 0.5 * xre[:, -1:] - 0.25 * (xre[:, -2:-1] + xnyq)
+    ylo_im = 0.5 * xim[:, -1:] - 0.25 * xim[:, -2:-1]
+    ynyq = 0.5 * xnyq - 0.5 * xre[:, -1:]
+    m_edge = jnp.concatenate(
+        [y0 * y0, ylo_re * ylo_re + ylo_im * ylo_im, ynyq * ynyq],
+        axis=1,
+    )  # (F, 3): bins 0, nb-1, nb
+    return m_int, m_edge
+
+
+def _sq_log_ratio(c_sq, d_sq, eps):
+    d_mag = jnp.sqrt(d_sq) + eps
+    log_ratio = jnp.log(c_sq / (d_mag * d_mag) + eps)
+    return log_ratio * log_ratio
+
+
+def _lsd_wholesig_kernel(c_ref, d_ref, w_ref, out_ref, *, n_frames, eps, precision):
+    def mags(ref):
+        chunks = ref[0]  # (NC, hop): rows n_frames+1.. are zero padding
+        a = _dot_f32(chunks, w_ref[:], precision)
+        span = n_frames + 1
+        return _windowed_mag_sq(a[:span], chunks[:span])
+
+    c_int, c_edge = mags(c_ref)
+    d_int, d_edge = mags(d_ref)
+    n_bins_total = c_int.shape[1] + 3  # n_fft/2 + 1 one-sided bins
+    # keepdims: a (n_frames,) 1D intermediate trips a Mosaic relayout bug
+    # ("non-singleton logical dimension is replicated ...") at this length
+    frame_ms = (
+        jnp.sum(_sq_log_ratio(c_int, d_int, eps), axis=1, keepdims=True)
+        + jnp.sum(_sq_log_ratio(c_edge, d_edge, eps), axis=1, keepdims=True)
+    ) / n_bins_total  # (n_frames, 1)
+    # the (B, 128) output block has a constant index map so it stays
+    # resident in VMEM; each step deposits its scalar on its own row
+    # (narrow per-step blocks fail Mosaic's (8, 128) tiling check)
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+    out_ref[:] = out_ref[:] + jnp.where(
+        rows == b, jnp.sum(jnp.sqrt(frame_ms)), 0.0
+    )
+
+
+def _lsd_wholesig(clean, denoised, n_fft, hop, eps, precision, interpret):
+    batch, t = clean.shape
+    pad = n_fft // 2  # center=True
+    f = num_frames(t + n_fft, n_fft, hop)
+    n_chunks = -(-(f + 1) // 8) * 8  # chunks 0..f consumed; 8-row aligned
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (pad, n_chunks * hop - t - pad)))
+        return x.reshape(batch, n_chunks, hop)
+
+    c = prep(clean.astype(jnp.float32))
+    d = prep(denoised.astype(jnp.float32))
+    w = jnp.asarray(_chunk_rdft_matrix_packed(n_fft))
+
+    sig_spec = pl.BlockSpec(
+        (1, n_chunks, hop), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    sums = pl.pallas_call(
+        functools.partial(
+            _lsd_wholesig_kernel, n_frames=f, eps=eps, precision=precision
+        ),
+        grid=(batch,),
+        in_specs=[
+            sig_spec,
+            sig_spec,
+            pl.BlockSpec(w.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (batch, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, 128), jnp.float32),
+        interpret=interpret,
+    )(c, d, w)
+    return sums[:, 0] / f
+
+
+def _lsd_framed_kernel(
     c1_ref,  # (1, FB, hop) clean chunks of block j
     c2_ref,  # (1, FB, hop) clean chunks of block j+1 (boundary row)
     d1_ref,  # (1, FB, hop) denoised chunks, block j
@@ -54,80 +201,19 @@ def _lsd_kernel(
     b = pl.program_id(0)
     j = pl.program_id(1)
 
-    def dot_f32(x, w):
-        dims = (((1,), (0,)), ((), ()))
-        if precision == "default":
-            return jax.lax.dot_general(
-                x.astype(jnp.bfloat16),
-                w.astype(jnp.bfloat16),
-                dims,
-                preferred_element_type=jnp.float32,
-            )
-        # bf16x3 (XLA's Precision.HIGH, which Mosaic doesn't lower
-        # directly): hi/lo bf16 split, drop the lo*lo term — three MXU
-        # passes for ~f32-class products
-        xh = x.astype(jnp.bfloat16)
-        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-        wh = w.astype(jnp.bfloat16)
-        wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-        def mm(p, q):
-            return jax.lax.dot_general(
-                p, q, dims, preferred_element_type=jnp.float32
-            )
-
-        return mm(xh, wh) + mm(xh, wl) + mm(xl, wh)
-
-    def windowed_mag_sq(b1, b2):
-        # chunk DFT: rows j*FB .. j*FB+FB  ->  (FB+1, 2*nb), bins 0..nb-1
-        # (the packed matrix carries no Nyquist/guard columns so the matmul
-        # is exact 128-lane tiles; both are reconstructed on the VPU below)
+    def windowed(b1, b2):
+        # chunk DFT: rows j*FB .. j*FB+FB -> (FB+1, 2*nb), bins 0..nb-1
         chunks = jnp.concatenate([b1[0], b2[0][:1]], axis=0)
-        a = dot_f32(chunks, w_ref[:])
-        nb = a.shape[-1] // 2  # n_fft/2: bins 0 .. nb-1
-        sign = 1.0 - 2.0 * (
-            jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) % 2
-        ).astype(jnp.float32)
-        are, aim = a[:, :nb], a[:, nb:]
-        # chunk Nyquist bin (k = nb): real alternating-sign sum of samples
-        alt = 1.0 - 2.0 * (
-            jax.lax.broadcasted_iota(jnp.int32, chunks.shape, 1) % 2
-        ).astype(jnp.float32)
-        anyq = jnp.sum(chunks * alt, axis=1, keepdims=True)  # (FB+1, 1)
-        # unwindowed frame spectrum via the (-1)^k chunk combination;
-        # (-1)^nb = +1 at the (even) Nyquist bin
-        xre = are[:-1] + sign * are[1:]
-        xim = aim[:-1] + sign * aim[1:]
-        xnyq = anyq[:-1] + anyq[1:]  # X[nb], imaginary part exactly 0
-        # periodic-Hann as an exact 3-tap frequency-domain convolution.
-        # Interior bins 1..nb-2 from the lane arrays; boundary bins use
-        # X[-1] = conj(X[1]) (so Yim[0] = 0), the real X[nb], and
-        # X[nb+1] = conj(X[nb-1]) (so Yim[nb] = 0).
-        yre_i = 0.5 * xre[:, 1:-1] - 0.25 * (xre[:, :-2] + xre[:, 2:])
-        yim_i = 0.5 * xim[:, 1:-1] - 0.25 * (xim[:, :-2] + xim[:, 2:])
-        m_int = yre_i * yre_i + yim_i * yim_i  # (FB, nb-2): bins 1..nb-2
-        y0 = 0.5 * xre[:, :1] - 0.5 * xre[:, 1:2]
-        ylo_re = 0.5 * xre[:, -1:] - 0.25 * (xre[:, -2:-1] + xnyq)
-        ylo_im = 0.5 * xim[:, -1:] - 0.25 * xim[:, -2:-1]
-        ynyq = 0.5 * xnyq - 0.5 * xre[:, -1:]
-        m_edge = jnp.concatenate(
-            [y0 * y0, ylo_re * ylo_re + ylo_im * ylo_im, ynyq * ynyq],
-            axis=1,
-        )  # (FB, 3): bins 0, nb-1, nb
-        return m_int, m_edge
+        a = _dot_f32(chunks, w_ref[:], precision)
+        return _windowed_mag_sq(a, chunks)
 
-    c_int, c_edge = windowed_mag_sq(c1_ref, c2_ref)
-    d_int, d_edge = windowed_mag_sq(d1_ref, d2_ref)
-
-    def sq_log_ratio(c_sq, d_sq):
-        d_mag = jnp.sqrt(d_sq) + eps
-        log_ratio = jnp.log(c_sq / (d_mag * d_mag) + eps)
-        return log_ratio * log_ratio
+    c_int, c_edge = windowed(c1_ref, c2_ref)
+    d_int, d_edge = windowed(d1_ref, d2_ref)
 
     n_bins_total = c_int.shape[1] + 3  # n_fft/2 + 1 one-sided bins
     frame_ms = (
-        jnp.sum(sq_log_ratio(c_int, d_int), axis=1)
-        + jnp.sum(sq_log_ratio(c_edge, d_edge), axis=1)
+        jnp.sum(_sq_log_ratio(c_int, d_int, eps), axis=1)
+        + jnp.sum(_sq_log_ratio(c_edge, d_edge, eps), axis=1)
     ) / n_bins_total  # (FB,)
 
     frame_idx = j * frame_block + jax.lax.broadcasted_iota(
@@ -149,27 +235,12 @@ def _lsd_kernel(
     out_ref[:] = out_ref[:] + jnp.where((rows == b) & (cols == j), part, 0.0)
 
 
-def lsd_scores(
-    clean: jnp.ndarray,
-    denoised: jnp.ndarray,
-    n_fft: int,
-    hop: int,
-    eps: float,
-    frame_block: int = 256,
-    precision: str = "high",
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Centered-STFT LSD of (B, T) pairs -> (B,) scores, fully fused.
-
-    ``denoised`` must already carry the least-squares projection scale
-    (metrics/lsd.py applies it before calling). Matches the XLA path's
-    semantics bin-for-bin; agreement asserted in tests/test_lsd.py.
-    """
-    assert n_fft == 2 * hop, "fused LSD requires 50% overlap"
+def _lsd_framed(
+    clean, denoised, n_fft, hop, eps, frame_block, precision, interpret
+):
     batch, t = clean.shape
     pad = n_fft // 2  # center=True
-    t_padded = t + n_fft
-    f = num_frames(t_padded, n_fft, hop)
+    f = num_frames(t + n_fft, n_fft, hop)
     nfb = pl.cdiv(f, frame_block)
     # block j+1 of the second view must exist: one extra all-zero block
     n_chunks = (nfb + 1) * frame_block
@@ -193,7 +264,7 @@ def lsd_scores(
         (1, frame_block, hop), lambda b, j: (b, j + 1, 0), memory_space=pltpu.VMEM
     )
     kernel = functools.partial(
-        _lsd_kernel,
+        _lsd_framed_kernel,
         frame_block=frame_block,
         n_frames=f,
         eps=eps,
@@ -208,3 +279,31 @@ def lsd_scores(
         interpret=interpret,
     )(c, c, d, d, w)
     return jnp.sum(partials, axis=1) / f
+
+
+def lsd_scores(
+    clean: jnp.ndarray,
+    denoised: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    eps: float,
+    frame_block: int = 256,
+    precision: str = "high",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Centered-STFT LSD of (B, T) pairs -> (B,) scores, fully fused.
+
+    ``denoised`` must already carry the least-squares projection scale
+    (metrics/lsd.py applies it before calling). Matches the XLA path's
+    semantics bin-for-bin; agreement asserted in tests/test_lsd.py.
+    """
+    assert n_fft == 2 * hop, "fused LSD requires 50% overlap"
+    t = clean.shape[1]
+    f = num_frames(t + n_fft, n_fft, hop)
+    if f + 1 <= MAX_WHOLESIG_CHUNKS:
+        return _lsd_wholesig(
+            clean, denoised, n_fft, hop, eps, precision, interpret
+        )
+    return _lsd_framed(
+        clean, denoised, n_fft, hop, eps, frame_block, precision, interpret
+    )

@@ -1,0 +1,100 @@
+"""Single-pass scaled-dot-product attention as a Pallas TPU kernel.
+
+At SpeechBERTScore's sequence lengths (16 s audio = 799 encoder frames; even
+multi-minute clips stay in the low thousands) one head's full K and V fit in
+VMEM many times over, so attention needs neither the flash algorithm's online
+softmax nor its multi-pass block accumulators: each grid step loads one query
+block plus the head's whole K/V, computes the (BQ, T) logits in VMEM,
+softmaxes, and emits the context block. The XLA einsum path materializes the
+(B, H, T, T) logits AND the softmax weights in HBM — ~8 GB of round-trips per
+layer at the bench shape (B*2=128, T=799) — which this kernel never writes.
+Measured vs alternatives at that shape: einsum ~3.7 k audio-s/s end-to-end,
+jax's upstream flash kernel ~1.6 k; this kernel exists because the sweep in
+tools/prof_sbs_attn.py showed both leave the attention stage HBM- or
+overhead-bound.
+
+Reference role: the fp16 `torch` SDPA inside HF HuBERT's attention
+(reference: fast_se_metrics/SpeechBERTScore.py:25-51 runs the HF encoder
+under autocast); this is the TPU-first re-design, not a port.
+
+Numerics: QK^T accumulates fp32 on the MXU (the einsum path emits bf16
+logits when the activation stream is bf16 — this kernel is slightly
+tighter), softmax runs fp32 in VMEM, and the probability matrix is cast to
+the value dtype for the AV matmul, matching the einsum path's class.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sdpa_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
+    q = q_ref[0]  # (BQ, D)  pre-scaled by 1/sqrt(D)
+    k = k_ref[0]  # (TK, D)
+    v = v_ref[0]  # (TK, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, TK) fp32, never leaves VMEM
+    if t_real < s.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < t_real, s, -jnp.inf)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, D)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scaling: float,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Softmax((q*scaling) @ k^T) @ v over (B, H, T, D) inputs, non-causal.
+
+    Returns (B, H, T, D) in the query dtype. T is padded internally to the
+    lane/block quantum; padded key positions are masked out of the softmax,
+    padded query rows are sliced off.
+    """
+    b, h, t, d = q.shape
+    assert k.shape == v.shape == (b, h, t, d)
+    tk = -(-t // 128) * 128
+    bq = min(block_q, tk)
+    tq = -(-t // bq) * bq
+
+    qs = (q * jnp.asarray(scaling, q.dtype)).reshape(b * h, t, d)
+    ks = k.reshape(b * h, t, d)
+    vs = v.reshape(b * h, t, d)
+    if tq > t:
+        qs = jnp.pad(qs, ((0, 0), (0, tq - t), (0, 0)))
+    if tk > t:
+        ks = jnp.pad(ks, ((0, 0), (0, tk - t), (0, 0)))
+        vs = jnp.pad(vs, ((0, 0), (0, tk - t), (0, 0)))
+
+    kv_spec = pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_sdpa_kernel, t_real=t),
+        grid=(b * h, tq // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            kv_spec,
+            kv_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, tq, d), q.dtype),
+        interpret=interpret,
+    )(qs, ks, vs)
+    return out[:, :t].reshape(b, h, t, d)

@@ -1,5 +1,6 @@
 """LSD agreement vs float64 NumPy oracle (analogue of tests/reference/test_lsd.py)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -58,3 +59,16 @@ def test_lsd_fused_kernel_matches_xla(speech_data):
         [r["LSD"] for r in fused], expected, rtol=2e-4, atol=2e-4
     )
 
+
+
+def test_lsd_framed_matches_wholesig(speech_data):
+    """The long-audio frame-blocked kernel and the whole-signal kernel
+    compute identical scores (same math, different grid partition); clips
+    past ~66 s take the framed path automatically (ops/lsd_fused.py)."""
+    from fast_speech_enhancement_metrics_tpu.ops import lsd_fused
+
+    c = jnp.asarray(speech_data["speech"][:2], dtype=jnp.float32)
+    d = jnp.asarray(speech_data["noisy_speech"][:2], dtype=jnp.float32)
+    ws = lsd_fused._lsd_wholesig(c, d, 512, 256, 1e-8, "high", True)
+    fr = lsd_fused._lsd_framed(c, d, 512, 256, 1e-8, 256, "high", True)
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(fr), rtol=1e-6, atol=1e-6)
