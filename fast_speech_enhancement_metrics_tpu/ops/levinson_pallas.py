@@ -107,6 +107,147 @@ def _levinson_kernel(r1_ref, bn_ref, out_ref, *, n: int):
     out_ref[:] = x
 
 
+def _levinson_kernel_flat(r1_ref, bn_ref, out_ref, *, n: int, unroll: int = 1):
+    """Flat-width recursion (no prefix phases) with roll-based shifts —
+    isolates the phase savings in A/B probes; ``unroll`` feeds fori_loop."""
+    r1 = r1_ref[:]
+    bn = bn_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, r1.shape, 1)
+    not_first = (col != 0).astype(jnp.float32)
+    e0 = (col == 0).astype(jnp.float32)
+
+    def shift_right(a):
+        return pltpu.roll(a, shift=1, axis=1) * not_first
+
+    def step(k, carry):
+        u, v, x, y = carry
+        ef = jnp.sum(r1 * v, axis=1, keepdims=True)
+        sel = (col == k + 1).astype(jnp.float32)
+        mu = jnp.sum(sel * bn - r1 * y, axis=1, keepdims=True)
+        denom = 1.0 - ef * ef
+        denom = jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
+        recip = 1.0 / denom
+        g = shift_right(v)
+        u_new = (u - ef * g) * recip
+        v_new = (g - ef * u) * recip
+        x_new = x + mu * v_new
+        y_new = shift_right(y) + mu * u_new
+        return u_new, v_new, x_new, y_new
+
+    u = e0
+    x = bn * e0
+    carry = (u, u, x, x)
+    steps = n - 1
+    if unroll > 1:  # manual unroll: Mosaic's fori_loop only takes unroll=1/full
+
+        def step_u(q, carry):
+            for i in range(unroll):
+                carry = step(q * unroll + i, carry)
+            return carry
+
+        carry = jax.lax.fori_loop(0, steps // unroll, step_u, carry)
+        for k in range(steps - steps % unroll, steps):
+            carry = step(k, carry)
+    else:
+        carry = jax.lax.fori_loop(0, steps, step, carry)
+    _, _, x, _ = carry
+    out_ref[:] = x
+
+
+def _levinson_kernel_double(r1_ref, bn_ref, out_ref, *, n: int):
+    """Two Levinson steps per loop iteration with all reductions hoisted.
+
+    The scalar kernel is latency-bound: each step's cross-lane reduce ->
+    broadcast -> update chain costs ~3.5 us while its ~450 vector ops cost
+    ~0.5 us (phasing, unrolling and MXU-reduce variants all measured ~1.8 ms
+    — tools/prof_lev_variants.py). Algebraically expanding step k+1's
+    reductions in terms of step k's state turns every reduction of a double
+    step into a function of FIVE independent reductions of the current
+    state (using <r1, S(a)> = <r2, a> with r2 the left-shifted r1), so the
+    pair costs ONE reduce latency:
+
+        ef1 = <r1,v>            mu1 = b[k+1] - <r1,y>
+        ef2 = rho1*(<r2,v> - ef1*<r1,u>)
+        mu2 = b[k+2] - <r2,y> - mu1*rho1*(<r1,u> - ef1*<r2,v>)
+
+    and the two updates compose into ~16 vector FMAs on shift combinations
+    (S(v), S^2(v), S(u), S^2(y)). Same recursion, different reassociation —
+    agreement asserted against the XLA scan in tests/test_ops.py.
+    """
+    r1 = r1_ref[:]  # (B, n): normalized tail, lane n-1 zero
+    bn = bn_ref[:]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, r1.shape, 1)
+    not_first = (col != 0).astype(jnp.float32)
+    e0 = (col == 0).astype(jnp.float32)
+    # r2[j] = r1[j+1] (left shift): <r1, S(a)> == <r2, a> exactly, since the
+    # right-shift S zeroes lane 0 and r1's last lane is already zero
+    r2 = pltpu.roll(r1, shift=n - 1, axis=1) * (
+        (col != n - 1).astype(jnp.float32)
+    )
+
+    def shift_right(a):
+        return pltpu.roll(a, shift=1, axis=1) * not_first
+
+    def guard(d):
+        return jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+
+    def double_step(i, carry):
+        u, v, x, y = carry
+        k = 2 * i
+        sel1 = (col == k + 1).astype(jnp.float32)
+        sel2 = (col == k + 2).astype(jnp.float32)
+        # five independent reductions — one reduce latency for both steps
+        ef1 = jnp.sum(r1 * v, axis=1, keepdims=True)
+        p = jnp.sum(r2 * v, axis=1, keepdims=True)
+        uu = jnp.sum(r1 * u, axis=1, keepdims=True)
+        mu1 = jnp.sum(sel1 * bn - r1 * y, axis=1, keepdims=True)
+        q2 = jnp.sum(sel2 * bn - r2 * y, axis=1, keepdims=True)
+
+        rho1 = 1.0 / guard(1.0 - ef1 * ef1)
+        ef2 = rho1 * (p - ef1 * uu)
+        rho2 = 1.0 / guard(1.0 - ef2 * ef2)
+        mu2 = q2 - mu1 * rho1 * (uu - ef1 * p)
+
+        sv = shift_right(v)
+        ssv = shift_right(sv)
+        su = shift_right(u)
+        ssy = shift_right(shift_right(y))
+
+        u1 = (u - ef1 * sv) * rho1
+        v1 = (sv - ef1 * u) * rho1
+        g2 = rho1 * (ssv - ef1 * su)
+        u2 = (u1 - ef2 * g2) * rho2
+        v2 = (g2 - ef2 * u1) * rho2
+        x2 = x + mu1 * v1 + mu2 * v2
+        su1 = rho1 * (su - ef1 * ssv)
+        y2 = ssy + mu1 * su1 + mu2 * u2
+        return u2, v2, x2, y2
+
+    def single_step(k, carry):
+        u, v, x, y = carry
+        ef = jnp.sum(r1 * v, axis=1, keepdims=True)
+        sel = (col == k + 1).astype(jnp.float32)
+        mu = jnp.sum(sel * bn - r1 * y, axis=1, keepdims=True)
+        recip = 1.0 / guard(1.0 - ef * ef)
+        g = shift_right(v)
+        u_new = (u - ef * g) * recip
+        v_new = (g - ef * u) * recip
+        x_new = x + mu * v_new
+        y_new = shift_right(y) + mu * u_new
+        return u_new, v_new, x_new, y_new
+
+    u = e0
+    x = bn * e0
+    carry = (u, u, x, x)
+    steps = n - 1
+    carry = jax.lax.fori_loop(0, steps // 2, double_step, carry)
+    for k in range(steps - steps % 2, steps):
+        carry = single_step(k, carry)
+    _, _, x, _ = carry
+    out_ref[:] = x
+
+
 def _levinson_kernel_dotreduce(r1_ref, bn_ref, out_ref, *, n: int):
     """Levinson recursion with the per-step lane reductions on the MXU.
 
@@ -212,9 +353,17 @@ def levinson_solve_fused(
         r1 = jnp.pad(r1, ((0, pad_b), (0, 0)))
         bn = jnp.pad(bn, ((0, pad_b), (0, 0)))
 
-    kernel = {"vpu": _levinson_kernel, "dotreduce": _levinson_kernel_dotreduce}[
-        variant
-    ]
+    import functools as _ft
+
+    kernels = {
+        "vpu": _levinson_kernel,
+        "dotreduce": _levinson_kernel_dotreduce,
+        "flat": _levinson_kernel_flat,
+        "flat_u4": _ft.partial(_levinson_kernel_flat, unroll=4),
+        "flat_u8": _ft.partial(_levinson_kernel_flat, unroll=8),
+        "double": _levinson_kernel_double,
+    }
+    kernel = kernels[variant]
     x = pl.pallas_call(
         functools.partial(kernel, n=n),
         out_shape=jax.ShapeDtypeStruct(r1.shape, jnp.float32),

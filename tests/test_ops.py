@@ -172,9 +172,11 @@ def test_levinson_matches_direct_solve():
         np.testing.assert_allclose(got[i], want, rtol=2e-3, atol=2e-3 * np.abs(want).max())
 
 
-def test_levinson_pallas_matches_xla_scan():
-    """The fused Pallas kernel (ops/levinson_pallas.py — whole recursion in
-    VMEM) solves the same systems as the XLA scan and the float64 direct
+@pytest.mark.parametrize("variant", ["vpu", "double", "flat", "dotreduce"])
+def test_levinson_pallas_matches_xla_scan(variant):
+    """Every fused-kernel recursion variant (ops/levinson_pallas.py — whole
+    recursion in VMEM; "double" runs two taps per loop iteration with all
+    reductions hoisted) solves the same systems as the float64 direct
     solve; interpret mode on CPU, compiled in the FSEM_TEST_TPU=1 suite."""
     import jax
 
@@ -198,13 +200,19 @@ def test_levinson_pallas_matches_xla_scan():
             jnp.asarray(r, jnp.float32),
             jnp.asarray(b),
             interpret=jax.default_backend() != "tpu",
+            variant=variant,
         )
     )
     assert got.shape == (5, n)
+    # the fused-pair variants reassociate the recursion's reductions; on the
+    # worst-conditioned fixture here (cond ~2e4) their fp32 rounding noise is
+    # ~3x the step-by-step kernels' — still far inside the metric-level
+    # 1e-2 dB SDR contract asserted in tests/test_sdr.py
+    tol = 2e-3 if variant in ("vpu", "flat") else 1e-2
     for i in range(5):
         want = solve_toeplitz(r[i], b[i].astype(np.float64))
         np.testing.assert_allclose(
-            got[i], want, rtol=2e-3, atol=2e-3 * np.abs(want).max()
+            got[i], want, rtol=tol, atol=tol * np.abs(want).max()
         )
 
 

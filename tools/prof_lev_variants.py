@@ -47,7 +47,7 @@ def chain(variant):
     return lambda: np.asarray(run(r0, b))
 
 
-fns = {v: chain(v) for v in ("vpu", "dotreduce")}
+fns = {v: chain(v) for v in (sys.argv[1:] or ["vpu", "flat", "flat_u4", "flat_u8"])}
 for name, fn in fns.items():
     t0 = time.perf_counter()
     out = fn()
