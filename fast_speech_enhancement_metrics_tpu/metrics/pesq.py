@@ -43,11 +43,17 @@ class PESQ(BaseMetric):
     higher_is_better = True
     EXPECTED_SAMPLING_RATE = 16000
 
-    def __init__(self, sample_rate: int = 16000, **kw):
+    def __init__(self, sample_rate: int = 16000, precision: str = "high", **kw):
+        """``precision`` feeds the MXU front-end (IIR FIR matmuls, framed
+        DFT, Bark pooling): "high" (bf16x3, default) measures the same
+        1.1e-3 oracle deviation as "highest" (bf16x6) at ~11% higher
+        end-to-end throughput (tools/prof_pesq_prec.py) — both far inside
+        the abs-5e-3 contract (tests/test_pesq.py)."""
         super().__init__(sample_rate, **kw)
         self.nbarks = 49
         self.n_fft = 512
         self.hop = 256
+        self.precision = precision
 
         # 325–3250 Hz band-power filter for level alignment (P.862 quirk
         # constants included: +5120 sample count, /1.04684 correction)
@@ -70,7 +76,10 @@ class PESQ(BaseMetric):
 
     def _align_level(self, speech):
         """Scale so the 325–3250 Hz band power is 1e7 (P.862 level alignment)."""
-        filtered = lfilter_fir(speech, self.power_filter[0], self.power_filter[1])
+        filtered = lfilter_fir(
+            speech, self.power_filter[0], self.power_filter[1],
+            precision=self.precision,
+        )
         power = jnp.sum(jnp.square(filtered), axis=1, keepdims=True)
         power = power / (speech.shape[1] + 5120) / 1.04684
         return speech * jnp.sqrt(1e7 / power)
@@ -81,7 +90,9 @@ class PESQ(BaseMetric):
         edge = jnp.ones((t,), dtype=speech.dtype)
         edge = edge.at[:15].set(taper).at[-15:].set(taper[::-1])
         speech = speech * edge
-        return lfilter_fir(speech, PRE_EMPHASIS_B, PRE_EMPHASIS_A)
+        return lfilter_fir(
+            speech, PRE_EMPHASIS_B, PRE_EMPHASIS_A, precision=self.precision
+        )
 
     # -- spectral path --------------------------------------------------------
 
@@ -97,7 +108,7 @@ class PESQ(BaseMetric):
 
         power = framed_spectrogram(
             speech, self.n_fft, self.hop, center=False, power=2.0,
-            precision="highest",
+            precision=self.precision,
         )
         # drop the energy (DC) feature; pool bins 1..255 onto Bark bands
         power = power.at[:, :, 0].set(0.0)
@@ -105,7 +116,7 @@ class PESQ(BaseMetric):
             "bfk,jk->bfj",
             power[:, :, :-1],
             jnp.asarray(self.consts["fbank"]),
-            precision="highest",
+            precision=self.precision,
         )
         return bark * jnp.asarray(self.consts["pow_dens"])
 
