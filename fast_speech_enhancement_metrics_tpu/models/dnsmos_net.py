@@ -47,14 +47,22 @@ def load_params(path: str | Path = DEFAULT_CHECKPOINT, dtype=jnp.float32):
 def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     """2x2/2 max pool over the (H, W) axes of NHWC, floor (VALID) semantics.
 
-    Lowered as a reshape + two maxes: measured 3.3 ms vs 11.2 ms for
-    ``lax.reduce_window`` at DNSMOS pool1's (64, 1600, 161, 32) bf16 shape
-    (tools/prof_pool_ab.py) — XLA's reduce-window lowering is ~4x off the
-    HBM-bandwidth floor on TPU, the reshape form is within ~1.4x.
+    Stays ``lax.reduce_window`` deliberately: a reshape+max lowering wins
+    3.4x in a STANDALONE probe (tools/prof_pool_ab.py) but loses 10% on the
+    full shared_exact graph (tools/prof_dnsmos_ab.py, 9.4k vs 10.5k
+    audio-s/s) — XLA fuses reduce_window into the producing conv, and the
+    reshape form breaks that fusion with a materialized relayout. Fusion
+    context decides; only full-graph A/Bs are trusted for this choice.
     """
     h, w = x.shape[1] // 2 * 2, x.shape[2] // 2 * 2
-    v = x[:, :h, :w, :].reshape(x.shape[0], h // 2, 2, w // 2, 2, x.shape[3])
-    return jnp.max(jnp.max(v, axis=4), axis=2)
+    return lax.reduce_window(
+        x[:, :h, :w, :],
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
 
 
 def _log_power_features(params, audio, precision):

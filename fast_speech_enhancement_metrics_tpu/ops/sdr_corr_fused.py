@@ -21,11 +21,25 @@ chunk-group j of CB chunks) it:
 * reduces the auto (clean x clean) and cross (clean x denoised) spectral
   products over the group's windows,
 
-and emits one (4, h+1) fp32 partial — auto re/im, cross re/im — so HBM
-sees the raw chunks once and ~0.5 MB of partials instead of ~260 MB of
-spectra. The tiny inverse DFT at the n_lags wanted points stays in XLA
-(same `_inverse_lag_matrices` as the XLA path, so the two are bin-exact
-apart from float reassociation of the block sums).
+and emits one (8, h) fp32 partial so HBM sees the raw chunks once and
+~1 MB of partials instead of ~260 MB of spectra. The tiny inverse DFT at
+the n_lags wanted points stays in XLA (same `_inverse_lag_matrices` as the
+XLA path, so the two are bin-exact apart from float reassociation).
+
+Lane-exact packing (round 3): the 2h-point one-sided transform has h+1
+bins; carrying them as [cos 0..h | sin 0..h] makes 2h+2 = 1026 columns,
+which (a) pads the matmul from 8 to 9 lane tiles (+12% MXU) and (b) puts
+the imag block at lane offset 513 — misaligned, so every elementwise op on
+it forced a Mosaic relayout copy. The matrix is instead packed as
+[cos 0..h-1 | cos_h | sin 1..h-1] = exactly 2h columns: the Nyquist bin's
+cosine column (the alternating-sign sum) sits in the always-zero sin_0
+slot. Both 512-column blocks are tile-aligned, the (-1)^f window combine
+applies to the packed array in ONE op (bin j lives at col j mod h and
+(-1)^0 = +1 matches the even Nyquist bin), and the packed spectral
+products decompose per block:  P1 = reW*reY (bins 0..h-1 real products),
+P2 = x2W*x2Y (col 0 = the Nyquist real product, cols 1.. = imag
+products), Q = x2W*reY - reW*x2Y (cols 1.. = the imaginary products; col
+0 is garbage and masked — bins 0 and h have zero imaginary parts).
 
 Padding windows need no masks: padded chunks are zero, and every
 out-of-range window product carries at least one zero factor.
@@ -51,11 +65,11 @@ def _corr_kernel(
     c1_ref,  # (1, CB, h) left-padded clean chunks, group j
     c2_ref,  # (1, CB, h) group j+1 (boundary row)
     d1_ref,  # (1, CB, h) denoised chunks, group j
-    wh_ref,  # (h, 2*n_bins) packed cos|sin chunk-DFT matrix, bf16 hi
-    wl_ref,  # (h, 2*n_bins) bf16 lo residual
-    out_ref,  # (1, 1, 4, n_bins) partial spectra
+    wh_ref,  # (h, 2h) packed [cos 0..h-1 | cos_h | sin 1..h-1], bf16 hi
+    wl_ref,  # (h, 2h) bf16 lo residual
+    out_ref,  # (1, 1, 8, h) partial products
     *,
-    n_bins: int,
+    h: int,
 ):
     def dot3(x):
         # bf16x3: hi/lo split of x against the pre-split DFT matrix
@@ -71,48 +85,57 @@ def _corr_kernel(
         return mm(xh, wh_ref[:]) + (mm(xh, wl_ref[:]) + mm(xl, wh_ref[:]))
 
     c_blk = jnp.concatenate([c1_ref[0], c2_ref[0][:1]], axis=0)  # (CB+1, h)
-    a_c = dot3(c_blk)  # (CB+1, 2*n_bins)
-    a_d = dot3(d1_ref[0])  # (CB, 2*n_bins)
+    a_c = dot3(c_blk)  # (CB+1, 2h) packed spectra
+    a_d = dot3(d1_ref[0])  # (CB, 2h)
 
     # one sublane roll realigns the k+1 spectra to vreg offset 0 — direct
     # a_c[1:] slices would carry offset 1 and force a Mosaic relayout copy
     # at every mixed-offset elementwise op below
     cb = a_c.shape[0] - 1
-    # pltpu.roll wants a non-negative shift: rolling by rows-1 == roll by -1
     a_n = pltpu.roll(a_c, shift=cb, axis=0)[:cb]  # rows 1..CB of a_c
 
-    re_c, im_c = a_c[:cb, :n_bins], a_c[:cb, n_bins:]
-    re_n, im_n = a_n[:, :n_bins], a_n[:, n_bins:]
-    re_d, im_d = a_d[:, :n_bins], a_d[:, n_bins:]
-
+    # (-1)^f window combine on the WHOLE packed array: col j carries bin
+    # j mod h, and the Nyquist bin (col h) is even so its +1 matches j=0
     sign = 1.0 - 2.0 * (
-        jax.lax.broadcasted_iota(jnp.int32, (1, n_bins), 1) % 2
+        jax.lax.broadcasted_iota(jnp.int32, (1, 2 * h), 1) % 2
     ).astype(jnp.float32)
-    # window spectrum: W_k = A_k + (-1)^f A_{k+1} over the left-padded chunks
-    re_w = re_c + sign * re_n
-    im_w = im_c + sign * im_n
+    a_w = a_c[:cb] + sign * a_n  # window spectra, packed
     # autocorrelation's Y_k is chunk k+1 of the left-padded view (= the
     # unpadded clean block k); the spectra are already on hand
-    re_y, im_y = re_n, im_n
+    a_y = a_n
 
-    def acc(re_b, im_b):
-        # S[f] = sum_k W_k[f] * conj(Y_k[f]) over this group's windows
-        s_re = jnp.sum(re_w * re_b + im_w * im_b, axis=0, keepdims=True)
-        s_im = jnp.sum(im_w * re_b - re_w * im_b, axis=0, keepdims=True)
-        return s_re, s_im
+    re_w, x2_w = a_w[:, :h], a_w[:, h:]
 
-    ar, ai = acc(re_y, im_y)
-    cr, ci = acc(re_d, im_d)
+    def acc(a_b):
+        re_b, x2_b = a_b[:, :h], a_b[:, h:]
+        p1 = jnp.sum(re_w * re_b, axis=0, keepdims=True)
+        p2 = jnp.sum(x2_w * x2_b, axis=0, keepdims=True)
+        q = jnp.sum(x2_w * re_b - re_w * x2_b, axis=0, keepdims=True)
+        return p1, p2, q
+
+    ap1, ap2, aq = acc(a_y)
+    cp1, cp2, cq = acc(a_d)
     # Mosaic cannot sublane-concatenate rows carrying different vreg
     # offsets (the keepdims reductions land on distinct sublanes); build
-    # the (4, n_bins) stack with broadcasts + masked adds instead
-    rows = jax.lax.broadcasted_iota(jnp.int32, (4, n_bins), 0)
+    # the (8, h) stack with broadcasts + masked adds instead
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, h), 0)
     out_ref[0, 0] = (
-        jnp.where(rows == 0, ar, 0.0)
-        + jnp.where(rows == 1, ai, 0.0)
-        + jnp.where(rows == 2, cr, 0.0)
-        + jnp.where(rows == 3, ci, 0.0)
+        jnp.where(rows == 0, ap1, 0.0)
+        + jnp.where(rows == 1, ap2, 0.0)
+        + jnp.where(rows == 2, aq, 0.0)
+        + jnp.where(rows == 3, cp1, 0.0)
+        + jnp.where(rows == 4, cp2, 0.0)
+        + jnp.where(rows == 5, cq, 0.0)
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_corr_matrix(h: int) -> np.ndarray:
+    """(h, 2h) packed [cos 0..h-1 | cos_h | sin 1..h-1] chunk-DFT matrix."""
+    cos, sin = _rdft_matrices(2 * h)  # (2h, h+1) each; rows h.. unused here
+    return np.concatenate(
+        [cos[:h, :h], cos[:h, h : h + 1], sin[:h, 1:h]], axis=1
+    ).astype(np.float32)
 
 
 def correlation_lags_fused(
@@ -130,7 +153,6 @@ def correlation_lags_fused(
     """
     assert c.ndim == 2 and c.shape == d.shape
     h = n_lags
-    n_bins = h + 1
     batch, t = c.shape
     k_blocks = -(-t // h)
     nfb = -(-k_blocks // chunk_block)
@@ -145,9 +167,8 @@ def correlation_lags_fused(
     cc = cp.reshape(batch, n_chunks, h)
     dc = dp.reshape(batch, n_chunks, h)
 
-    cos, sin = _rdft_matrices(2 * h)
-    w = np.concatenate([cos[:h], sin[:h]], axis=1)  # (h, 2*n_bins)
-    wh = jnp.asarray(w.astype(np.float32)).astype(jnp.bfloat16)
+    w = _packed_corr_matrix(h)
+    wh = jnp.asarray(w).astype(jnp.bfloat16)
     wl = (jnp.asarray(w) - wh.astype(jnp.float32)).astype(jnp.bfloat16)
 
     spec1 = pl.BlockSpec(
@@ -159,17 +180,28 @@ def correlation_lags_fused(
     wspec = pl.BlockSpec(w.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM)
 
     partials = pl.pallas_call(
-        functools.partial(_corr_kernel, n_bins=n_bins),
+        functools.partial(_corr_kernel, h=h),
         grid=(batch, nfb),
         in_specs=[spec1, spec2, spec1, wspec, wspec],
         out_specs=pl.BlockSpec(
-            (1, 1, 4, n_bins), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, 8, h), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, nfb, 4, n_bins), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, nfb, 8, h), jnp.float32),
         interpret=interpret,
     )(cc, cc, dc, wh, wl)
 
-    s = jnp.sum(partials, axis=1)  # (B, 4, n_bins)
+    s = jnp.sum(partials, axis=1)  # (B, 8, h)
+
+    def unpack(p1, p2, q):
+        # bins 0..h: s_re = [P1[0], P1[1..h-1] + P2[1..h-1], P2[0]];
+        # s_im = [0, Q[1..h-1], 0] (bins 0 and h are real)
+        s_re = jnp.concatenate(
+            [p1[:, :1], p1[:, 1:] + p2[:, 1:], p2[:, :1]], axis=1
+        )
+        zero = jnp.zeros_like(q[:, :1])
+        s_im = jnp.concatenate([zero, q[:, 1:], zero], axis=1)
+        return s_re, s_im
+
     icos_np, isin_np = _inverse_lag_matrices(h, n_lags)
     icos, isin = jnp.asarray(icos_np), jnp.asarray(isin_np)
 
@@ -178,4 +210,6 @@ def correlation_lags_fused(
             "bn,nl->bl", s_re, icos, precision="highest"
         ) - jnp.einsum("bn,nl->bl", s_im, isin, precision="highest")
 
-    return idft(s[:, 0], s[:, 1]), idft(s[:, 2], s[:, 3])
+    return idft(*unpack(s[:, 0], s[:, 1], s[:, 2])), idft(
+        *unpack(s[:, 3], s[:, 4], s[:, 5])
+    )
