@@ -128,13 +128,18 @@ class SpeechBERTScore(BaseMetric):
         impl = self.attention_impl
         if impl != "auto":
             return impl
-        # Measured on v5e (tools/prof_flash_crossover.py, batch 4): XLA's
-        # bf16 einsum attention beats the flash kernel at every length that
-        # fits — 43 vs 55 ms at 799 frames, 162 vs 318 ms at 3999 — but the
-        # einsum path materializes per-layer (rows, heads, T, T) logits and
-        # OOMs at 7999 frames (12 GB at batch 4). "auto" therefore picks
-        # einsum until that logits tensor approaches HBM and flash past it:
-        # a capacity switch, not a throughput crossover.
+        # Measured on v5e (tools/prof_sdpa_long.py, batch 4, bf16): the
+        # single-pass sdpa kernel (ops/sdpa_pallas.py) beats BOTH
+        # alternatives once sequences are long — 64.6 vs einsum 82.6 vs
+        # flash 105.6 ms at 1999 frames, 112.9/143.1/290.6 at 3999, and
+        # 252.5 vs flash 965.2 at 7999 where einsum's per-layer
+        # (rows, heads, T, T) logits exceed HBM. At the short-utterance
+        # bench shape (rows 128, 799 frames) einsum still edges it out
+        # (3766 vs 3563 audio-s/s, tools/prof_sbs_attn.py) because the
+        # shared softmax VPU cost dominates there. "auto" therefore picks
+        # einsum for short utterances and sdpa past ~1500 frames or the
+        # logits HBM bound; the upstream flash kernel lost every measured
+        # point and is never auto-selected.
         frames = num_samples // 320
         on_tpu = all(
             d.platform == "tpu"
@@ -146,7 +151,7 @@ class SpeechBERTScore(BaseMetric):
             return "einsum"
         heads = self.config.num_attention_heads
         logits_gb = rows * heads * frames * frames * 4 / 1e9
-        return "flash" if logits_gb > 4.0 else "einsum"
+        return "sdpa" if frames >= 1500 or logits_gb > 4.0 else "einsum"
 
     def _f1_from_embeddings(self, clean_emb, denoised_emb):
         norm_c = clean_emb / jnp.linalg.norm(clean_emb, axis=2, keepdims=True)

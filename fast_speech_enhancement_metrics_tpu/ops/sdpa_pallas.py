@@ -58,18 +58,25 @@ def sdpa(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scaling: float,
-    block_q: int = 512,
+    block_q: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Softmax((q*scaling) @ k^T) @ v over (B, H, T, D) inputs, non-causal.
 
     Returns (B, H, T, D) in the query dtype. T is padded internally to the
     lane/block quantum; padded key positions are masked out of the softmax,
-    padded query rows are sliced off.
+    padded query rows are sliced off. ``block_q`` defaults to the largest
+    power-of-two block (<= 512) whose fp32 logits tile stays within ~4 MB of
+    VMEM, so long sequences (the regime where the einsum path's (B, H, T, T)
+    logits exceed HBM) shrink the query block instead of failing.
     """
     b, h, t, d = q.shape
     assert k.shape == v.shape == (b, h, t, d)
     tk = -(-t // 128) * 128
+    if block_q is None:
+        block_q = 512
+        while block_q > 128 and block_q * tk * 4 > 4 * 1024 * 1024:
+            block_q //= 2
     bq = min(block_q, tk)
     tq = -(-t // bq) * bq
 

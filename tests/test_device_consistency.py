@@ -80,11 +80,11 @@ def _tiny_hubert():
     return convert_hf_hubert(model.state_dict(), config_from_hf(cfg)), config_from_hf(cfg)
 
 
-@pytest.mark.parametrize("tpu_impl", ["einsum", "flash"])
+@pytest.mark.parametrize("tpu_impl", ["einsum", "flash", "sdpa"])
 def test_speechbertscore_cpu_vs_tpu(tpu_impl, speech_data):
-    """The one metric with a Pallas kernel and precision switches: CPU einsum
-    reference vs the TPU einsum AND flash attention paths (reference
-    analogue: tests/test_cuda.py:8-23)."""
+    """The one metric with Pallas kernels and precision switches: CPU einsum
+    reference vs the TPU einsum, flash, and single-pass sdpa attention
+    paths (reference analogue: tests/test_cuda.py:8-23)."""
     from fast_speech_enhancement_metrics_tpu import SpeechBERTScore
 
     tpu = _tpu_device()
