@@ -184,10 +184,11 @@ def calibration_canary() -> dict:
 
 def _scanned_protocol_canary(batch: int = 8, n: int = 1024, chain: int = 8) -> float:
     """Known-FLOPs workload pushed through the EXACT scanned-runner protocol
-    (``_scanned``): audio-shaped input, bf16 matmul chain, (B,) scores. The
-    implied TFLOP/s must stay below the chip's bf16 peak — if the scan body
-    were hoisted/cached/not synchronized, this inflates past physical peak
-    and the suite refuses to report."""
+    (``_scanned``) at the DEEPEST scan the suite may use (SCAN_K_MAX, so the
+    adaptive deepening is bounded too): audio-shaped input, bf16 matmul
+    chain, (B,) scores. The implied TFLOP/s must stay below the chip's bf16
+    peak — if the scan body were hoisted/cached/not synchronized, this
+    inflates past physical peak and the suite refuses to report."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -203,22 +204,30 @@ def _scanned_protocol_canary(batch: int = 8, n: int = 1024, chain: int = 8) -> f
             y = (y @ x) * jnp.bfloat16(1.0 / n)
         return {"canary": jnp.mean(y.astype(jnp.float32).reshape(batch, -1), axis=1)}
 
-    runner = _scanned(compute, intrusive=False)
+    runner = _scanned(compute, intrusive=False, scan_k=SCAN_K_MAX)
     np.asarray(runner(None, noisy, 0)["canary"])  # compile + warm
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
         out = np.asarray(runner(None, noisy, 1 + i)["canary"])
     elapsed = time.perf_counter() - t0
-    assert out.shape == (SCAN_K, batch)
-    return reps * SCAN_K * chain * 2 * n**3 / elapsed / 1e12
+    assert out.shape == (SCAN_K_MAX, batch)
+    return reps * SCAN_K_MAX * chain * 2 * n**3 / elapsed / 1e12
 
 
 #: batches evaluated per dispatch in the scanned (device-throughput) protocol
 SCAN_K = 32
+#: adaptive deepening: fast metrics re-jit with a deeper scan so the relay's
+#: ~25-40 ms dispatch+fetch round-trip amortizes below ~1% (at K=32 it is
+#: ~1 ms/eval — comparable to the DSP metrics' entire device time). The
+#: reference's protocol is likewise a timed multi-call loop
+#: (benchmark_metrics.py:49-84).
+SCAN_K_MAX = 256
+#: per-dispatch duration target when deepening (seconds)
+SCAN_TARGET_S = 2.5
 
 
-def _scanned(compute, intrusive: bool):
+def _scanned(compute, intrusive: bool, scan_k: int = SCAN_K):
     """One jitted graph: SCAN_K evaluations of ``compute(clean, noisy)`` via
     ``lax.scan``, each on the audio plus a tiny offset derived from the
     previous iteration's scores (module docstring: loop-carried so nothing
@@ -244,7 +253,7 @@ def _scanned(compute, intrusive: bool):
             nxt = jnp.mod(jnp.abs(total), 977.0) * 1e-12 + 1e-12
             return nxt, scores
 
-        _, outs = jax.lax.scan(body, seed, None, length=SCAN_K)
+        _, outs = jax.lax.scan(body, seed, None, length=scan_k)
         return outs
 
     import numpy as np
@@ -252,10 +261,10 @@ def _scanned(compute, intrusive: bool):
     return lambda c, n, seed: run_k(c, n, np.float32(1e-12 * (seed + 1)))
 
 
-def _make_scanned_runner(metric):
+def _make_scanned_runner(metric, scan_k: int = SCAN_K):
     if getattr(metric, "host_chunk", None) is not None:
         return None  # host-orchestrated plan (Python chunk loop): time per-call
-    return _scanned(metric._compute_resampled, not metric.NON_INTRUSIVE)
+    return _scanned(metric._compute_resampled, not metric.NON_INTRUSIVE, scan_k)
 
 
 def bench_one(
@@ -302,13 +311,25 @@ def bench_one(
         t0 = time.perf_counter()
         run_scan(1)
         per_dispatch = max(time.perf_counter() - t0, 1e-4)
+        scan_k = SCAN_K
+        per_eval = per_dispatch / SCAN_K
+        deep_k = min(SCAN_K_MAX, max(SCAN_K, int(SCAN_TARGET_S / per_eval)))
+        deep_k -= deep_k % SCAN_K
+        if deep_k > SCAN_K:
+            # fast metric: the RPC share at K=32 is material — re-jit deeper
+            scanned = _make_scanned_runner(metric, deep_k)
+            run_scan(0)
+            scan_k = deep_k
+            t0 = time.perf_counter()
+            run_scan(1)
+            per_dispatch = max(time.perf_counter() - t0, 1e-4)
         iters = max(2, int(time_budget_s / per_dispatch))
         t0 = time.perf_counter()
         for i in range(iters):
             out = run_scan(2 + i)  # fresh seed: no two dispatches identical
         elapsed = time.perf_counter() - t0
-        assert next(iter(out.values())).shape == (SCAN_K, batch)
-        batches_timed = iters * SCAN_K
+        assert next(iter(out.values())).shape == (scan_k, batch)
+        batches_timed = iters * scan_k
     else:
         per_call = max(per_call_s, 1e-4)
         iters = max(3, int(time_budget_s / per_call))
