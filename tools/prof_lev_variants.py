@@ -33,7 +33,7 @@ r0 = jnp.asarray(
 r0 = r0.at[:, 0].set(jnp.abs(r0[:, 0]) + 1.0)
 b = jnp.asarray(rng.standard_normal((BATCH, 512)), dtype=jnp.float32)
 
-N_CHAIN = 16
+N_CHAIN = int(os.environ.get("LEV_CHAIN", 16))
 
 
 def chain(variant):
