@@ -218,8 +218,19 @@ class SpeechBERTScore(BaseMetric):
 
         speech = jnp.concatenate([clean, denoised], axis=0)
         rows = speech.shape[0]
-        if self.batch_chunk is not None:
-            rows = min(rows, self.batch_chunk)
+        chunk = self.batch_chunk
+        if chunk is None:
+            # auto-chunk: the conv feature extractor's first activation is
+            # (rows, T/5, 512) — at batch 128 x 16 s that alone is ~13 GB
+            # and the fused graph exceeds HBM. Cap it at ~6 GB by running
+            # the encoder over row chunks with lax.map (identical scores;
+            # chunking-exactness asserted in tests/test_speechbertscore.py).
+            bytes_per = 2 if self.act_dtype is not None else 4
+            fe_gb = rows * (speech.shape[1] // 5) * 512 * bytes_per / 1e9
+            if fe_gb > 6.0:
+                chunk = max(8, int(rows * 6.0 / fe_gb) // 8 * 8)
+        if chunk is not None:
+            rows = min(rows, chunk)
         impl = self._resolve_impl(speech.shape[1], rows)
 
         def encode(audio):
@@ -234,7 +245,6 @@ class SpeechBERTScore(BaseMetric):
                 gelu=self.gelu,
             )
 
-        chunk = self.batch_chunk
         if chunk is not None and speech.shape[0] > chunk:
             import jax
 
