@@ -62,18 +62,18 @@ def _dot_f32(x, w, precision):
             dims,
             preferred_element_type=jnp.float32,
         )
-    # bf16x3 (XLA's Precision.HIGH, which Mosaic doesn't lower
-    # directly): hi/lo bf16 split, drop the lo*lo term — three MXU
-    # passes for ~f32-class products
+    # bf16x3 (XLA's Precision.HIGH, which Mosaic doesn't lower directly):
+    # hi/lo bf16 split, drop the lo*lo term. The three products stack into
+    # ONE K-tripled matmul — [xh | xh | xl] @ [wh; wl; wh] — identical
+    # FLOPs, one MXU dispatch, no fp32 add chain (measured ~3% over the
+    # three-dot form, tools/prof_lsd_k768.py).
     xh = x.astype(jnp.bfloat16)
     xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
     wh = w.astype(jnp.bfloat16)
     wl = (w - wh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    def mm(p, q):
-        return jax.lax.dot_general(p, q, dims, preferred_element_type=jnp.float32)
-
-    return mm(xh, wh) + mm(xh, wl) + mm(xl, wh)
+    xs = jnp.concatenate([xh, xh, xl], axis=1)
+    ws = jnp.concatenate([wh, wl, wh], axis=0)
+    return jax.lax.dot_general(xs, ws, dims, preferred_element_type=jnp.float32)
 
 
 def _windowed_mag_sq(a, chunks):

@@ -65,24 +65,23 @@ def _corr_kernel(
     c1_ref,  # (1, CB, h) left-padded clean chunks, group j
     c2_ref,  # (1, CB, h) group j+1 (boundary row)
     d1_ref,  # (1, CB, h) denoised chunks, group j
-    wh_ref,  # (h, 2h) packed [cos 0..h-1 | cos_h | sin 1..h-1], bf16 hi
-    wl_ref,  # (h, 2h) bf16 lo residual
+    ws_ref,  # (3h, 2h) K-stacked [wh; wl; wh] packed DFT matrix, bf16
     out_ref,  # (1, 1, 8, h) partial products
     *,
     h: int,
 ):
     def dot3(x):
-        # bf16x3: hi/lo split of x against the pre-split DFT matrix
+        # bf16x3: hi/lo split of x against the pre-split DFT matrix; the
+        # three products stack into ONE K-tripled matmul (see
+        # ops/lsd_fused.py::_dot_f32) — the weight operand arrives
+        # pre-stacked as [wh; wl; wh]
         dims = (((1,), (0,)), ((), ()))
         xh = x.astype(jnp.bfloat16)
         xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-
-        def mm(p, q):
-            return jax.lax.dot_general(
-                p, q, dims, preferred_element_type=jnp.float32
-            )
-
-        return mm(xh, wh_ref[:]) + (mm(xh, wl_ref[:]) + mm(xl, wh_ref[:]))
+        xs = jnp.concatenate([xh, xh, xl], axis=1)
+        return jax.lax.dot_general(
+            xs, ws_ref[:], dims, preferred_element_type=jnp.float32
+        )
 
     c_blk = jnp.concatenate([c1_ref[0], c2_ref[0][:1]], axis=0)  # (CB+1, h)
     a_c = dot3(c_blk)  # (CB+1, 2h) packed spectra
@@ -170,6 +169,7 @@ def correlation_lags_fused(
     w = _packed_corr_matrix(h)
     wh = jnp.asarray(w).astype(jnp.bfloat16)
     wl = (jnp.asarray(w) - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+    ws = jnp.concatenate([wh, wl, wh], axis=0)  # (3h, 2h)
 
     spec1 = pl.BlockSpec(
         (1, chunk_block, h), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
@@ -177,18 +177,18 @@ def correlation_lags_fused(
     spec2 = pl.BlockSpec(
         (1, chunk_block, h), lambda b, j: (b, j + 1, 0), memory_space=pltpu.VMEM
     )
-    wspec = pl.BlockSpec(w.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(ws.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM)
 
     partials = pl.pallas_call(
         functools.partial(_corr_kernel, h=h),
         grid=(batch, nfb),
-        in_specs=[spec1, spec2, spec1, wspec, wspec],
+        in_specs=[spec1, spec2, spec1, wspec],
         out_specs=pl.BlockSpec(
             (1, 1, 8, h), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((batch, nfb, 8, h), jnp.float32),
         interpret=interpret,
-    )(cc, cc, dc, wh, wl)
+    )(cc, cc, dc, ws)
 
     s = jnp.sum(partials, axis=1)  # (B, 8, h)
 

@@ -23,7 +23,7 @@ from fast_speech_enhancement_metrics_tpu.ops import lsd_fused
 BATCH, DUR = 64, 16
 AUD = BATCH * DUR
 N_FFT, HOP, EPS = 512, 256, 1e-8
-CHAIN_K = 32
+CHAIN_K = 128
 
 rng = np.random.default_rng(0)
 c_sig = jnp.asarray(rng.standard_normal((BATCH, DUR * 16000)), dtype=jnp.float32)
