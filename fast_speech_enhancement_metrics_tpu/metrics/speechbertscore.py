@@ -151,7 +151,12 @@ class SpeechBERTScore(BaseMetric):
             return "einsum"
         heads = self.config.num_attention_heads
         logits_gb = rows * heads * frames * frames * 4 / 1e9
-        return "sdpa" if frames >= 1500 or logits_gb > 4.0 else "einsum"
+        if frames >= 1500 or logits_gb > 4.0:
+            # sdpa holds one head's full K/V in VMEM — verified on-chip to
+            # 40k frames (~13 minutes of audio); past that only the
+            # K-blocked flash kernel's VMEM footprint stays bounded
+            return "sdpa" if frames <= 40000 else "flash"
+        return "einsum"
 
     def _f1_from_embeddings(self, clean_emb, denoised_emb):
         norm_c = clean_emb / jnp.linalg.norm(clean_emb, axis=2, keepdims=True)

@@ -353,14 +353,12 @@ def levinson_solve_fused(
         r1 = jnp.pad(r1, ((0, pad_b), (0, 0)))
         bn = jnp.pad(bn, ((0, pad_b), (0, 0)))
 
-    import functools as _ft
-
     kernels = {
         "vpu": _levinson_kernel,
         "dotreduce": _levinson_kernel_dotreduce,
         "flat": _levinson_kernel_flat,
-        "flat_u4": _ft.partial(_levinson_kernel_flat, unroll=4),
-        "flat_u8": _ft.partial(_levinson_kernel_flat, unroll=8),
+        "flat_u4": functools.partial(_levinson_kernel_flat, unroll=4),
+        "flat_u8": functools.partial(_levinson_kernel_flat, unroll=8),
         "double": _levinson_kernel_double,
     }
     kernel = kernels[variant]

@@ -47,10 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 from fast_speech_enhancement_metrics_tpu.ops.dft import _chunk_rdft_matrix_packed
 from fast_speech_enhancement_metrics_tpu.ops.stft import num_frames
 
-#: whole-signal kernel cutover: n_chunks above this (≈66 s of 16 kHz audio at
-#: hop 256) overflows the ~16 MB VMEM budget for the per-pair arrays, and the
-#: frame-blocked kernel takes over
-MAX_WHOLESIG_CHUNKS = 4096
+#: whole-signal kernel cutover (n_chunks; ~16.4 s of 16 kHz audio at hop
+#: 256). Mosaic's scoped-VMEM accounting measured 17.53 MB at NC=1152
+#: (compile error: limit 16 MB) and the bench's NC=1008 compiles and runs,
+#: so the cutover sits just above the bench shape with ~2% headroom;
+#: longer clips take the frame-blocked kernel (proven on chip at 80 s,
+#: tests/test_long_audio.py).
+MAX_WHOLESIG_CHUNKS = 1024
 
 
 def _dot_f32(x, w, precision):

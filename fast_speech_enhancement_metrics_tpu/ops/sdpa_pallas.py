@@ -75,7 +75,7 @@ def sdpa(
     tk = -(-t // 128) * 128
     if block_q is None:
         block_q = 512
-        while block_q > 128 and block_q * tk * 4 > 4 * 1024 * 1024:
+        while block_q > 32 and block_q * tk * 4 > 4 * 1024 * 1024:
             block_q //= 2
     bq = min(block_q, tk)
     tq = -(-t // bq) * bq

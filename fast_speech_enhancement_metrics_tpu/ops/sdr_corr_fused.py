@@ -151,6 +151,11 @@ def correlation_lags_fused(
     reassociation of the block sums; agreement asserted in tests/test_ops.py.
     """
     assert c.ndim == 2 and c.shape == d.shape
+    # the packed (-1)^f window combine reuses one sign vector across both
+    # column blocks, which requires the Nyquist bin (col h, sign (-1)^h)
+    # to be even — odd lag counts would silently negate every imaginary
+    # spectral product
+    assert n_lags % 2 == 0, f"fused correlations require even n_lags, got {n_lags}"
     h = n_lags
     batch, t = c.shape
     k_blocks = -(-t // h)

@@ -56,7 +56,10 @@ def test_lsd_long_audio_takes_framed_path(monkeypatch):
 
 def test_sbs_attention_policy_switches_to_sdpa():
     """The auto policy: einsum at short utterances, sdpa past ~1500 frames
-    or the logits HBM bound — and never the flash kernel."""
+    or the logits HBM bound, flash only past sdpa's resident-K/V VMEM range
+    (~20k frames)."""
+    if not any(d.platform == "tpu" for d in jax.devices()):
+        pytest.skip("policy resolves to einsum off-TPU")
     from fast_speech_enhancement_metrics_tpu.models.hubert import (
         MHUBERT_147_CONFIG,
         init_params,
@@ -65,10 +68,9 @@ def test_sbs_attention_policy_switches_to_sdpa():
     m = SpeechBERTScore(
         params=init_params(jax.random.key(0), MHUBERT_147_CONFIG)
     )
-    if m.device.platform != "tpu":
-        pytest.skip("policy resolves to einsum off-TPU")
     assert m._resolve_impl(16 * 16000, 128) == "einsum"
     assert m._resolve_impl(600 * 16000, 4) == "sdpa"
+    assert m._resolve_impl(900 * 16000, 4) == "flash"
 
 
 @pytest.mark.skipif(
