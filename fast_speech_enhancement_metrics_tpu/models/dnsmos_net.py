@@ -126,6 +126,17 @@ def _output_mlp(params, pooled):
     return dense(h, 2)
 
 
+def _trunk_conv0_5(params, z, precision, conv_dtype):
+    if conv_dtype is not None:
+        z = z.astype(conv_dtype)
+    for n in range(4):
+        z = _conv_layer(params, z, n, precision)
+    z = _max_pool_2x2(z)
+    z = _conv_layer(params, z, 4, precision)
+    z = _max_pool_2x2(z)
+    return _conv_layer(params, z, 5, precision)  # (N, T/4, 40, 32)
+
+
 def dnsmos_net_shared(
     params: dict,
     audio: jnp.ndarray,
@@ -158,16 +169,7 @@ def dnsmos_net_shared(
             f"{frames_per_hop}"
         )
     feats = _log_power_features(params, audio, "highest")
-    x = feats[..., None]
-    if conv_dtype is not None:
-        x = x.astype(conv_dtype)
-
-    for n in range(4):
-        x = _conv_layer(params, x, n, precision)
-    x = _max_pool_2x2(x)
-    x = _conv_layer(params, x, 4, precision)
-    x = _max_pool_2x2(x)
-    x = _conv_layer(params, x, 5, precision)  # (B, T6, 40, 32)
+    x = _trunk_conv0_5(params, feats[..., None], precision, conv_dtype)  # (B, T6, 40, 32)
 
     phases = []
     for phase in (0, 1):
@@ -244,17 +246,12 @@ def dnsmos_net_windowed_exact(
     feats = _log_power_features(params, audio, "highest")  # (B, Tf, 161)
     batch = feats.shape[0]
 
-    def trunk_0_5(z):
-        if conv_dtype is not None:
-            z = z.astype(conv_dtype)
-        for n in range(4):
-            z = _conv_layer(params, z, n, precision)
-        z = _max_pool_2x2(z)
-        z = _conv_layer(params, z, 4, precision)
-        z = _max_pool_2x2(z)
-        return _conv_layer(params, z, 5, precision)
-
-    x = trunk_0_5(feats[..., None])
+    # shared trunk over the full signal. A time->batch split (more batch
+    # rows, shorter time) measured 1.65x faster on the ISOLATED trunk but
+    # exactly neutral inside this full graph (tools/prof_dnsmos_split.py,
+    # prof_dnsmos_split_e2e.py) — XLA schedules the fused graph differently
+    # than the standalone stack, so the simple form stays.
+    x = _trunk_conv0_5(params, feats[..., None], precision, conv_dtype)
     phases = []
     for phase in (0, 1):
         xp = x if phase == 0 else x[:, 1:, :, :]
@@ -271,7 +268,7 @@ def dnsmos_net_windowed_exact(
             ],
             axis=1,
         ).reshape(batch * num_windows, length, feats.shape[2])
-        z = trunk_0_5(strip[..., None])
+        z = _trunk_conv0_5(params, strip[..., None], precision, conv_dtype)
         z = _max_pool_2x2(z)
         return _conv_layer(params, z, 6, precision)
 
