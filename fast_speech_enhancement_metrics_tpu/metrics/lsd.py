@@ -15,7 +15,6 @@ a (B,) vector on device.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from fast_speech_enhancement_metrics_tpu.base import BaseMetric

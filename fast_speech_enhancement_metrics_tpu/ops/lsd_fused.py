@@ -20,7 +20,7 @@ Shared structural ideas (reference semantics anchor: fast_se_metrics/LSD.py:18-5
 
 Two kernels:
 
-* **Whole-signal** (default for clips up to ~60 s): grid = (batch,); each
+* **Whole-signal** (default for clips up to ~16 s): grid = (batch,); each
   step loads one pair's full (n_chunks, hop) arrays (~2 MB fp32 at 16 s)
   straight from the zero-copy chunk reshape and runs ONE M≈2*n_chunks
   chunk-DFT matmul per signal. No frame-block boundaries, no overlap
@@ -40,7 +40,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

@@ -16,7 +16,6 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from fast_speech_enhancement_metrics_tpu.ops.stft import frame
 
 
 @functools.lru_cache(maxsize=None)
