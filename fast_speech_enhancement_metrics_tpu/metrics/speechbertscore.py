@@ -227,13 +227,18 @@ class SpeechBERTScore(BaseMetric):
         if chunk is None:
             # auto-chunk: the conv feature extractor's first activation is
             # (rows, T/5, 512) — at batch 128 x 16 s that alone is ~13 GB
-            # and the fused graph exceeds HBM. Cap it at ~6 GB by running
-            # the encoder over row chunks with lax.map (identical scores;
+            # and the fused graph exceeds HBM. The bench shape (rows 128,
+            # ~6.7 GB) runs fused and must NOT chunk (a mis-set 6 GB
+            # threshold here cost a 1.7x bench regression: the padded
+            # lax.map computed 224 of 128 rows). Past ~8 GB, split into the
+            # FEWEST equal row chunks that fit (identical scores;
             # chunking-exactness asserted in tests/test_speechbertscore.py).
             bytes_per = 2 if self.act_dtype is not None else 4
             fe_gb = rows * (speech.shape[1] // 5) * 512 * bytes_per / 1e9
-            if fe_gb > 6.0:
-                chunk = max(8, int(rows * 6.0 / fe_gb) // 8 * 8)
+            if fe_gb > 8.0:
+                n_chunks = int(-(-fe_gb // 8.0))
+                per_chunk = -(-rows // n_chunks)
+                chunk = max(8, -(-per_chunk // 8) * 8)
         if chunk is not None:
             rows = min(rows, chunk)
         impl = self._resolve_impl(speech.shape[1], rows)
