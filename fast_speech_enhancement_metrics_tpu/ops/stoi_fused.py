@@ -22,6 +22,15 @@ fast_se_metrics/STOI.py:113-198):
 
 Variances are computed CENTERED (second pass after the mean) — the expanded
 sum-of-squares form loses precision on near-constant segments.
+
+VMEM headroom note: the three unrolled 30-step shift loops keep enough
+(16, Fp) values live that Mosaic's scoped-VMEM use sits near the 16 MB
+limit at 16 s clips (Fp = 2048); the shipped metric graph and the bench's
+scanned graphs compile and run, but one probe wrapper with a different
+fusion context measured 18.2 MB and was rejected at compile time
+(tools/prof_stoi_stages.py). If a caller's jit context ever trips this,
+split the segment axis over grid steps (30-lane halo); tracked in
+docs/ROADMAP.md.
 """
 
 from __future__ import annotations
