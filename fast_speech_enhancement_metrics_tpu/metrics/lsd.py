@@ -52,18 +52,21 @@ class LSD(BaseMetric):
         scale = jnp.sum(clean * denoised, axis=1, keepdims=True) / (
             jnp.sum(denoised * denoised, axis=1, keepdims=True) + self.eps
         )
-        denoised = denoised * scale
 
         if self._use_fused():
             from fast_speech_enhancement_metrics_tpu.ops.lsd_fused import lsd_scores
 
+            # the scale rides into the kernel so hop-aligned inputs skip the
+            # padded/scaled (B, T) HBM copies entirely (ops/lsd_fused.py)
             return {
                 "LSD": lsd_scores(
                     clean, denoised, self.nfft, self.hop, self.eps,
                     frame_block=self.frame_block,
                     interpret=not self._on_tpu(),
+                    denoised_scale=scale,
                 )
             }
+        denoised = denoised * scale
 
         speech = jnp.concatenate([clean, denoised], axis=0)
         # magnitude spectrogram, frames-major: (2B, F_frames, nfft//2+1),

@@ -78,28 +78,16 @@ def _dot_f32(x, w, precision):
     return jax.lax.dot_general(xs, ws, dims, preferred_element_type=jnp.float32)
 
 
-def _windowed_mag_sq(a, chunks):
-    """(F+1, 2nb) packed chunk spectra + (F+1, hop) chunks -> windowed |X|^2
-    as (F, nb-2) interior bins and (F, 3) edge bins (bins 0, nb-1, nb)."""
-    nb = a.shape[-1] // 2
-    sign = 1.0 - 2.0 * (
-        jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) % 2
-    ).astype(jnp.float32)
-    are, aim = a[:, :nb], a[:, nb:]
-    # chunk Nyquist bin (k = nb): real alternating-sign sum of samples
-    alt = 1.0 - 2.0 * (
-        jax.lax.broadcasted_iota(jnp.int32, chunks.shape, 1) % 2
-    ).astype(jnp.float32)
-    anyq = jnp.sum(chunks * alt, axis=1, keepdims=True)  # (F+1, 1)
-    # unwindowed frame spectrum via the (-1)^k chunk combination;
-    # (-1)^nb = +1 at the (even) Nyquist bin
-    xre = are[:-1] + sign * are[1:]
-    xim = aim[:-1] + sign * aim[1:]
-    xnyq = anyq[:-1] + anyq[1:]  # X[nb], imaginary part exactly 0
-    # periodic-Hann as an exact 3-tap frequency-domain convolution.
-    # Interior bins 1..nb-2 from the lane arrays; boundary bins use
-    # X[-1] = conj(X[1]) (so Yim[0] = 0), the real X[nb], and
-    # X[nb+1] = conj(X[nb-1]) (so Yim[nb] = 0).
+def _hann_mag_sq(xre, xim, xnyq):
+    """(F, nb) unwindowed frame spectra (+ real Nyquist column (F, 1)) ->
+    windowed |X|^2 as (F, nb-2) interior bins and (F, 3) edge bins
+    (bins 0, nb-1, nb).
+
+    Periodic-Hann as an exact 3-tap frequency-domain convolution.
+    Interior bins 1..nb-2 from the lane arrays; boundary bins use
+    X[-1] = conj(X[1]) (so Yim[0] = 0), the real X[nb], and
+    X[nb+1] = conj(X[nb-1]) (so Yim[nb] = 0).
+    """
     yre_i = 0.5 * xre[:, 1:-1] - 0.25 * (xre[:, :-2] + xre[:, 2:])
     yim_i = 0.5 * xim[:, 1:-1] - 0.25 * (xim[:, :-2] + xim[:, 2:])
     m_int = yre_i * yre_i + yim_i * yim_i  # (F, nb-2): bins 1..nb-2
@@ -112,6 +100,35 @@ def _windowed_mag_sq(a, chunks):
         axis=1,
     )  # (F, 3): bins 0, nb-1, nb
     return m_int, m_edge
+
+
+def _sign_lane(nb):
+    return 1.0 - 2.0 * (
+        jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1) % 2
+    ).astype(jnp.float32)
+
+
+def _chunk_nyquist(chunks):
+    # chunk Nyquist bin (k = hop): real alternating-sign sum of samples
+    alt = 1.0 - 2.0 * (
+        jax.lax.broadcasted_iota(jnp.int32, chunks.shape, 1) % 2
+    ).astype(jnp.float32)
+    return jnp.sum(chunks * alt, axis=1, keepdims=True)
+
+
+def _windowed_mag_sq(a, chunks):
+    """(F+1, 2nb) packed chunk spectra + (F+1, hop) chunks -> windowed |X|^2
+    as (F, nb-2) interior bins and (F, 3) edge bins (bins 0, nb-1, nb)."""
+    nb = a.shape[-1] // 2
+    sign = _sign_lane(nb)
+    are, aim = a[:, :nb], a[:, nb:]
+    anyq = _chunk_nyquist(chunks)  # (F+1, 1)
+    # unwindowed frame spectrum via the (-1)^k chunk combination;
+    # (-1)^nb = +1 at the (even) Nyquist bin
+    xre = are[:-1] + sign * are[1:]
+    xim = aim[:-1] + sign * aim[1:]
+    xnyq = anyq[:-1] + anyq[1:]  # X[nb], imaginary part exactly 0
+    return _hann_mag_sq(xre, xim, xnyq)
 
 
 def _sq_log_ratio(c_sq, d_sq, eps):
@@ -185,6 +202,105 @@ def _lsd_wholesig(clean, denoised, n_fft, hop, eps, precision, interpret):
         interpret=interpret,
     )(c, d, w)
     return sums[:, 0] / f
+
+
+def _lsd_wholesig_raw_kernel(
+    scale_ref, c_ref, d_ref, w_ref, out_ref, *, eps, precision
+):
+    """Whole-signal kernel over RAW hop-aligned chunk rows (no padded copy).
+
+    With center padding pad = n_fft/2 = hop, padded chunk row j is exactly
+    raw row j-1 (row 0 and the post-signal row are zero), so the frame
+    spectra split into an interior slab and two edge frames:
+
+      X[0]   = sign * A[0]                    (left pad chunk is zero)
+      X[j]   = A[j-1] + sign * A[j]           j = 1 .. NC-1
+      X[NC]  = A[NC-1]                        (right pad chunk is zero)
+
+    with A the raw-chunk DFT. The denoised projection scale is applied to
+    the chunks in VMEM, so the (B, T) pad/scale copies that cost ~0.3 ms of
+    HBM round-trips per batch-64 eval in the padded formulation never
+    happen; HBM sees each signal exactly once.
+    """
+    b = pl.program_id(0)
+
+    def mags(ref, scale):
+        chunks = ref[0]  # (NC, hop) raw rows, NC = T/hop
+        if scale is not None:
+            chunks = chunks * scale
+        a = _dot_f32(chunks, w_ref[:], precision)  # (NC, 2nb)
+        nb = a.shape[-1] // 2
+        sign = _sign_lane(nb)
+        are, aim = a[:, :nb], a[:, nb:]
+        q = _chunk_nyquist(chunks)  # (NC, 1)
+        # interior frames 1..NC-1
+        m_int, m_edge = _hann_mag_sq(
+            are[:-1] + sign * are[1:],
+            aim[:-1] + sign * aim[1:],
+            q[:-1] + q[1:],
+        )
+        # frames 0 and NC as a 2-row slab
+        e_int, e_edge = _hann_mag_sq(
+            jnp.concatenate([sign * are[:1], are[-1:]], axis=0),
+            jnp.concatenate([sign * aim[:1], aim[-1:]], axis=0),
+            jnp.concatenate([q[:1], q[-1:]], axis=0),
+        )
+        return (m_int, m_edge), (e_int, e_edge)
+
+    (ci, ce), (cei, cee) = mags(c_ref, None)
+    (di, de), (dei, dee) = mags(d_ref, scale_ref[b, 0])
+    n_bins_total = ci.shape[1] + 3  # n_fft/2 + 1 one-sided bins
+    # keepdims: a 1D intermediate trips a Mosaic relayout bug at this length
+    frame_ms = (
+        jnp.sum(_sq_log_ratio(ci, di, eps), axis=1, keepdims=True)
+        + jnp.sum(_sq_log_ratio(ce, de, eps), axis=1, keepdims=True)
+    ) / n_bins_total  # (NC-1, 1)
+    edge_ms = (
+        jnp.sum(_sq_log_ratio(cei, dei, eps), axis=1, keepdims=True)
+        + jnp.sum(_sq_log_ratio(cee, dee, eps), axis=1, keepdims=True)
+    ) / n_bins_total  # (2, 1)
+    total = jnp.sum(jnp.sqrt(frame_ms)) + jnp.sum(jnp.sqrt(edge_ms))
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+    out_ref[:] = out_ref[:] + jnp.where(rows == b, total, 0.0)
+
+
+def _lsd_wholesig_raw(clean, denoised, scale, hop, eps, precision, interpret):
+    """Zero-copy whole-signal path: requires T % hop == 0 and an 8-aligned
+    chunk count (both hold for the benchmark's even-second 16 kHz clips)."""
+    batch, t = clean.shape
+    nc = t // hop
+
+    c = clean.astype(jnp.float32).reshape(batch, nc, hop)
+    d = denoised.astype(jnp.float32).reshape(batch, nc, hop)
+    w = jnp.asarray(_chunk_rdft_matrix_packed(2 * hop))
+    scale = scale.astype(jnp.float32).reshape(batch, 1)
+
+    sig_spec = pl.BlockSpec(
+        (1, nc, hop), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    sums = pl.pallas_call(
+        functools.partial(
+            _lsd_wholesig_raw_kernel, eps=eps, precision=precision
+        ),
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            sig_spec,
+            sig_spec,
+            pl.BlockSpec(w.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (batch, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, 128), jnp.float32),
+        interpret=interpret,
+    )(scale, c, d, w)
+    return sums[:, 0] / (nc + 1)
 
 
 def _lsd_framed_kernel(
@@ -292,16 +408,27 @@ def lsd_scores(
     frame_block: int = 256,
     precision: str = "high",
     interpret: bool = False,
+    denoised_scale: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Centered-STFT LSD of (B, T) pairs -> (B,) scores, fully fused.
 
-    ``denoised`` must already carry the least-squares projection scale
-    (metrics/lsd.py applies it before calling). Matches the XLA path's
-    semantics bin-for-bin; agreement asserted in tests/test_lsd.py.
+    ``denoised`` must carry the least-squares projection scale — either
+    pre-multiplied by the caller, or passed as ``denoised_scale`` ((B,) or
+    (B, 1)), in which case hop-aligned inputs take a zero-copy path that
+    applies the scale in VMEM and never materializes the padded/scaled
+    (B, T) copies. Matches the XLA path's semantics bin-for-bin; agreement
+    asserted in tests/test_lsd.py.
     """
     assert n_fft == 2 * hop, "fused LSD requires 50% overlap"
     t = clean.shape[1]
     f = num_frames(t + n_fft, n_fft, hop)
+    if denoised_scale is not None:
+        nc = t // hop
+        if t % hop == 0 and nc % 8 == 0 and f + 1 <= MAX_WHOLESIG_CHUNKS:
+            return _lsd_wholesig_raw(
+                clean, denoised, denoised_scale, hop, eps, precision, interpret
+            )
+        denoised = denoised * denoised_scale.reshape(-1, 1)
     if f + 1 <= MAX_WHOLESIG_CHUNKS:
         return _lsd_wholesig(
             clean, denoised, n_fft, hop, eps, precision, interpret

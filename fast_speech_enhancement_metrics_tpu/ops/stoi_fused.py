@@ -9,6 +9,17 @@ accumulation loops: segments live on the LANE axis (one lane per segment
 start m), bands on sublanes, and the 30-frame window becomes 30 circular
 lane shifts. HBM sees the (B, 16, F) envelopes once and (B,) sums once.
 
+The segment axis is SPLIT OVER GRID STEPS (lane blocks of ``lane_block``
+segments with an n-1-lane halo carried via the adjacent block, the same
+two-view pattern as ops/lsd_fused.py's framed kernel). Round 3's whole-lane
+formulation kept three unrolled 30-step shift loops live over the full
+(16, 2048) lane space and sat ~12% under Mosaic's 16 MB scoped-VMEM limit
+at 16 s clips — one probe wrapper with a different fusion context measured
+18.2 MB and failed to compile (tools/prof_stoi_stages.py). Blocking the
+lanes bounds the live set at (16, lane_block + 32) per value regardless of
+clip length, with a measured-neutral cost (the halo recompute is
+32/lane_block of the VPU work).
+
 Semantics match metrics/stoi.py exactly (reference anchor:
 fast_se_metrics/STOI.py:113-198):
 
@@ -22,15 +33,6 @@ fast_se_metrics/STOI.py:113-198):
 
 Variances are computed CENTERED (second pass after the mean) — the expanded
 sum-of-squares form loses precision on near-constant segments.
-
-VMEM headroom note: the three unrolled 30-step shift loops keep enough
-(16, Fp) values live that Mosaic's scoped-VMEM use sits near the 16 MB
-limit at 16 s clips (Fp = 2048); the shipped metric graph and the bench's
-scanned graphs compile and run, but one probe wrapper with a different
-fusion context measured 18.2 MB and was rejected at compile time
-(tools/prof_stoi_stages.py). If a caller's jit context ever trips this,
-split the segment axis over grid steps (30-lane halo); tracked in
-docs/ROADMAP.md.
 """
 
 from __future__ import annotations
@@ -45,15 +47,24 @@ from jax.experimental.pallas import tpu as pltpu
 #: equalize-clip factor: 1 + 10^(-beta/20), beta = -15 dB
 _CLIPF = 1.0 + 10.0 ** (15.0 / 20.0)
 
+#: halo lanes appended from the adjacent block (>= n - 1, vreg-aligned-ish)
+_HALO = 32
+
 
 def _shift1(a):
     """Circular left-shift by one lane: out[..., m] = a[..., m+1]."""
     return jnp.concatenate([a[:, 1:], a[:, :1]], axis=1)
 
 
-def _stoi_kernel(nseg_ref, c_ref, d_ref, out_ref, *, n: int, num_bands: int):
-    x = c_ref[0]  # (16, Fp) clean band envelopes, band rows >= 15 zero
-    y = d_ref[0]  # (16, Fp) denoised
+def _stoi_kernel(
+    nseg_ref, c1_ref, c2_ref, d1_ref, d2_ref, out_ref,
+    *, n: int, num_bands: int, lane_block: int,
+):
+    # this block's segment lanes + a halo from the adjacent block: segment
+    # m reads frames m .. m+n-1, so lanes [j*LB, (j+1)*LB) need envelope
+    # lanes up to (j+1)*LB + n - 2 < (j+1)*LB + _HALO
+    x = jnp.concatenate([c1_ref[0], c2_ref[0][:, :_HALO]], axis=1)
+    y = jnp.concatenate([d1_ref[0], d2_ref[0][:, :_HALO]], axis=1)
 
     f32 = jnp.float32
     zero = jnp.zeros_like(x)
@@ -117,20 +128,23 @@ def _stoi_kernel(nseg_ref, c_ref, d_ref, out_ref, *, n: int, num_bands: int):
         xs, ys = _shift1(xs), _shift1(ys)
 
     rsyp = jax.lax.rsqrt(jnp.maximum(vyp, 1e-30))
-    stoi_m = jnp.sum(num_s * rsx * rsyp, axis=0, keepdims=True)  # (1, Fp)
+    stoi_m = jnp.sum(num_s * rsx * rsyp, axis=0, keepdims=True)  # (1, LB+H)
 
-    # -- mask to real segments, reduce, emit --------------------------------
+    # -- mask to this block's real segments, reduce, emit -------------------
     b = pl.program_id(0)
+    j = pl.program_id(1)
     nseg = nseg_ref[b, 0]
-    m_idx = jax.lax.broadcasted_iota(jnp.int32, stoi_m.shape, 1)
-    valid = (m_idx < nseg).astype(f32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, stoi_m.shape, 1)
+    m_idx = j * lane_block + lane
+    valid = ((lane < lane_block) & (m_idx < nseg)).astype(f32)
     stoi = jnp.sum(stoi_m * valid)
     estoi = jnp.sum(estoi_m * valid)
 
     # whole (B, 128) output block with a constant index map stays resident
     # in VMEM across grid steps (per-row sub-blocks fail Mosaic's (8, 128)
-    # tiling check) — write this row's two scalars through a coordinate mask
-    @pl.when(b == 0)
+    # tiling check) — accumulate this step's two scalars through a
+    # coordinate mask
+    @pl.when((b == 0) & (j == 0))
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -147,6 +161,7 @@ def stoi_segment_sums(
     num_segments: jnp.ndarray,
     n: int = 30,
     num_bands: int = 15,
+    lane_block: int = 512,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Masked segment-correlation sums from band envelopes.
@@ -155,41 +170,56 @@ def stoi_segment_sums(
     num_segments: (B,) int32. Returns (stoi_sum, estoi_sum), each (B,):
     sum over valid segments of the per-segment band-correlation sums —
     the caller divides by num_bands/N and num_segments (metrics/stoi.py).
+
+    ``lane_block``: segments per grid step (multiple of 128); bounds the
+    kernel's scoped-VMEM live set independently of the clip length.
     """
     batch, f, nb = tob_clean.shape
     assert nb == num_bands and tob_denoised.shape == tob_clean.shape
+    assert lane_block % 128 == 0 and _HALO >= n - 1
 
     pad_j = (-num_bands) % 8
     fp = -(-f // 128) * 128
-    # (B, F, nb) -> (B, nb->16, Fp): bands on sublanes, segment lanes
+    lb = min(lane_block, fp)
+    n_lb = pl.cdiv(fp, lb)
+    # block j's halo reads block j+1: one extra all-zero lane block
+    fp_total = (n_lb + 1) * lb
+
+    # (B, F, nb) -> (B, nb->16, fp_total): bands on sublanes, segment lanes
     def prep(tob):
         t = jnp.swapaxes(tob.astype(jnp.float32), 1, 2)
-        return jnp.pad(t, ((0, 0), (0, pad_j), (0, fp - f)))
+        return jnp.pad(t, ((0, 0), (0, pad_j), (0, fp_total - f)))
 
     c = prep(tob_clean)
     d = prep(tob_denoised)
     nseg = num_segments.astype(jnp.int32).reshape(batch, 1)
 
+    spec1 = pl.BlockSpec(
+        (1, num_bands + pad_j, lb), lambda b, j: (b, 0, j),
+        memory_space=pltpu.VMEM,
+    )
+    spec2 = pl.BlockSpec(
+        (1, num_bands + pad_j, lb), lambda b, j: (b, 0, j + 1),
+        memory_space=pltpu.VMEM,
+    )
     out = pl.pallas_call(
-        functools.partial(_stoi_kernel, n=n, num_bands=num_bands),
-        grid=(batch,),
+        functools.partial(
+            _stoi_kernel, n=n, num_bands=num_bands, lane_block=lb
+        ),
+        grid=(batch, n_lb),
         in_specs=[
             # whole (B, 1) array in SMEM (Mosaic rejects (1, 1) sub-blocks);
             # the kernel indexes it by program id
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, num_bands + pad_j, fp), lambda b: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, num_bands + pad_j, fp), lambda b: (b, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            spec1,
+            spec2,
+            spec1,
+            spec2,
         ],
         out_specs=pl.BlockSpec(
-            (batch, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
+            (batch, 128), lambda b, j: (0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((batch, 128), jnp.float32),
         interpret=interpret,
-    )(nseg, c, d)
+    )(nseg, c, c, d, d)
     return out[:, 0], out[:, 1]

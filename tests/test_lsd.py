@@ -72,3 +72,38 @@ def test_lsd_framed_matches_wholesig(speech_data):
     ws = lsd_fused._lsd_wholesig(c, d, 512, 256, 1e-8, "high", True)
     fr = lsd_fused._lsd_framed(c, d, 512, 256, 1e-8, 256, "high", True)
     np.testing.assert_allclose(np.asarray(ws), np.asarray(fr), rtol=1e-6, atol=1e-6)
+
+
+def test_lsd_raw_zero_copy_matches_padded(speech_data):
+    """The zero-copy raw-chunk whole-signal kernel (scale applied in VMEM,
+    no padded (B, T) copies) computes the same scores as the padded
+    whole-signal kernel; its alignment gate requires T % (8*hop) == 0."""
+    from fast_speech_enhancement_metrics_tpu.ops import lsd_fused
+
+    t = 248 * 256  # nc = 248: hop-aligned and 8-row aligned
+    c = jnp.asarray(speech_data["speech"][:2, :t], dtype=jnp.float32)
+    d = jnp.asarray(speech_data["noisy_speech"][:2, :t], dtype=jnp.float32)
+    scale = jnp.asarray([0.9, 1.2], dtype=jnp.float32)
+    raw = lsd_fused._lsd_wholesig_raw(c, d, scale, 256, 1e-8, "high", True)
+    padded = lsd_fused._lsd_wholesig(
+        c, d * scale[:, None], 512, 256, 1e-8, "high", True
+    )
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(padded), rtol=1e-6)
+
+    # and the dispatcher routes aligned shapes to the raw kernel's result
+    via_scores = lsd_fused.lsd_scores(
+        c, d, 512, 256, 1e-8, interpret=True, denoised_scale=scale
+    )
+    np.testing.assert_allclose(np.asarray(via_scores), np.asarray(raw), rtol=1e-7)
+
+    # unaligned shapes (nc % 8 != 0) fall back and still agree
+    t2 = 250 * 256
+    c2 = jnp.asarray(speech_data["speech"][:2, :t2], dtype=jnp.float32)
+    d2 = jnp.asarray(speech_data["noisy_speech"][:2, :t2], dtype=jnp.float32)
+    fb = lsd_fused.lsd_scores(
+        c2, d2, 512, 256, 1e-8, interpret=True, denoised_scale=scale
+    )
+    pad2 = lsd_fused._lsd_wholesig(
+        c2, d2 * scale[:, None], 512, 256, 1e-8, "high", True
+    )
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(pad2), rtol=1e-6)
