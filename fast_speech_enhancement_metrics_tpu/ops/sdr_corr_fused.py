@@ -128,6 +128,91 @@ def _corr_kernel(
     )
 
 
+def _corr_kernel_raw(
+    c0_ref,  # (1, CB, h) RAW clean chunks, group j-1 (its LAST row is the
+    #          left window overlap; index clamped to 0 at the first group)
+    c1_ref,  # (1, CB, h) RAW clean chunks, group j
+    d1_ref,  # (1, CB, h) RAW denoised chunks, group j
+    ws_ref,  # (3h, 2h) K-stacked [wh; wl; wh] packed DFT matrix, bf16
+    out_ref,  # (1, 1, 8, h) partial products
+    *,
+    h: int,
+    cb: int,
+    k_total: int,
+):
+    """Zero-copy variant of ``_corr_kernel``: no left/right-padded copies.
+
+    With left pad = h = one chunk row, padded chunk p is raw chunk p-1.
+    Group j still handles windows k in [j*CB, (j+1)*CB): window k combines
+    clean chunks k-1 and k, so the group's clean slab is raw rows
+    [j*CB-1, j*CB+CB) — the previous group's last row plus this group's
+    block — while the denoised rows align exactly (no boundary). Structure
+    (two K-tripled matmuls, one realigning roll, six reduced products) is
+    identical to ``_corr_kernel``; the only additions are the two
+    ``where`` masks that zero rows outside [0, k_total) — the ragged tail
+    group reads out-of-bounds garbage (masking must be a select, NOT a
+    multiply: 0 * garbage-NaN = NaN), and the clamped row at j = 0 stands
+    in for the zero left-pad chunk.
+    """
+    j = pl.program_id(1)
+
+    def dot3(x):
+        dims = (((1,), (0,)), ((), ()))
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        xs = jnp.concatenate([xh, xh, xl], axis=1)
+        return jax.lax.dot_general(
+            xs, ws_ref[:], dims, preferred_element_type=jnp.float32
+        )
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (cb + 1, h), 0)
+    cidx = j * cb - 1 + rows  # clean chunk index of slab row r
+    c_blk = jnp.where(
+        (cidx >= 0) & (cidx < k_total),
+        jnp.concatenate([c0_ref[0][-1:], c1_ref[0]], axis=0),
+        0.0,
+    )
+    drows = jax.lax.broadcasted_iota(jnp.int32, (cb, h), 0)
+    d_blk = jnp.where(j * cb + drows < k_total, d1_ref[0], 0.0)
+
+    a_c = dot3(c_blk)  # (CB+1, 2h): spectra of clean chunks j*CB-1 ..
+    a_d = dot3(d_blk)  # (CB, 2h)
+
+    # rows 1..CB realigned to vreg offset 0 — direct a_c[1:] slices carry
+    # offset 1 and force a Mosaic relayout at every mixed-offset op below
+    a_n = pltpu.roll(a_c, shift=cb, axis=0)[:cb]
+
+    sign = 1.0 - 2.0 * (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 2 * h), 1) % 2
+    ).astype(jnp.float32)
+    # window k = j*CB + r: a_w[r] = a_c[k-1] + sign * a_c[k]
+    a_w = a_c[:cb] + sign * a_n
+    # autocorrelation's Y_k is clean chunk k = slab row r+1
+    a_y = a_n
+
+    re_w, x2_w = a_w[:, :h], a_w[:, h:]
+
+    def acc(a_b):
+        re_b, x2_b = a_b[:, :h], a_b[:, h:]
+        p1 = jnp.sum(re_w * re_b, axis=0, keepdims=True)
+        p2 = jnp.sum(x2_w * x2_b, axis=0, keepdims=True)
+        q = jnp.sum(x2_w * re_b - re_w * x2_b, axis=0, keepdims=True)
+        return p1, p2, q
+
+    ap1, ap2, aq = acc(a_y)
+    cp1, cp2, cq = acc(a_d)
+
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, h), 0)
+    out_ref[0, 0] = (
+        jnp.where(rows8 == 0, ap1, 0.0)
+        + jnp.where(rows8 == 1, ap2, 0.0)
+        + jnp.where(rows8 == 2, aq, 0.0)
+        + jnp.where(rows8 == 3, cp1, 0.0)
+        + jnp.where(rows8 == 4, cp2, 0.0)
+        + jnp.where(rows8 == 5, cq, 0.0)
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _packed_corr_matrix(h: int) -> np.ndarray:
     """(h, 2h) packed [cos 0..h-1 | cos_h | sin 1..h-1] chunk-DFT matrix."""
@@ -159,41 +244,76 @@ def correlation_lags_fused(
     h = n_lags
     batch, t = c.shape
     k_blocks = -(-t // h)
-    nfb = -(-k_blocks // chunk_block)
-    # the j+1 view of the clean chunks must exist: one extra all-zero group
-    n_chunks = (nfb + 1) * chunk_block
 
     c = c.astype(jnp.float32)
     d = d.astype(jnp.float32)
-    # window k of c spans c[h*k-h : h*k+h]: left-pad by h, then chunk
-    cp = jnp.pad(c, ((0, 0), (h, n_chunks * h - t - h)))
-    dp = jnp.pad(d, ((0, 0), (0, n_chunks * h - t)))
-    cc = cp.reshape(batch, n_chunks, h)
-    dc = dp.reshape(batch, n_chunks, h)
 
     w = _packed_corr_matrix(h)
     wh = jnp.asarray(w).astype(jnp.bfloat16)
     wl = (jnp.asarray(w) - wh.astype(jnp.float32)).astype(jnp.bfloat16)
     ws = jnp.concatenate([wh, wl, wh], axis=0)  # (3h, 2h)
-
-    spec1 = pl.BlockSpec(
-        (1, chunk_block, h), lambda b, j: (b, j, 0), memory_space=pltpu.VMEM
-    )
-    spec2 = pl.BlockSpec(
-        (1, chunk_block, h), lambda b, j: (b, j + 1, 0), memory_space=pltpu.VMEM
-    )
     wspec = pl.BlockSpec(ws.shape, lambda b, j: (0, 0), memory_space=pltpu.VMEM)
 
-    partials = pl.pallas_call(
-        functools.partial(_corr_kernel, h=h),
-        grid=(batch, nfb),
-        in_specs=[spec1, spec2, spec1, wspec],
-        out_specs=pl.BlockSpec(
-            (1, 1, 8, h), lambda b, j: (b, j, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((batch, nfb, 8, h), jnp.float32),
-        interpret=interpret,
-    )(cc, cc, dc, ws)
+    if t % h == 0:
+        # zero-copy path: HBM sees each raw signal exactly once — no
+        # left-padded/right-padded (B, T) copies (~0.3 ms of round-trips
+        # per batch-64 x 16 s eval). The window index shifts by one inside
+        # the kernel and ragged tail rows are masked there.
+        nfb = -(-k_blocks // chunk_block)
+        cc = c.reshape(batch, k_blocks, h)
+        dc = d.reshape(batch, k_blocks, h)
+        spec1 = pl.BlockSpec(
+            (1, chunk_block, h), lambda b, j: (b, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        spec0 = pl.BlockSpec(
+            (1, chunk_block, h),
+            lambda b, j: (b, jnp.maximum(j - 1, 0), 0),
+            memory_space=pltpu.VMEM,
+        )
+        partials = pl.pallas_call(
+            functools.partial(
+                _corr_kernel_raw, h=h, cb=chunk_block, k_total=k_blocks
+            ),
+            grid=(batch, nfb),
+            in_specs=[spec0, spec1, spec1, wspec],
+            out_specs=pl.BlockSpec(
+                (1, 1, 8, h), lambda b, j: (b, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, nfb, 8, h), jnp.float32),
+            interpret=interpret,
+        )(cc, cc, dc, ws)
+    else:
+        nfb = -(-k_blocks // chunk_block)
+        # the j+1 view of the clean chunks must exist: one extra all-zero
+        # group
+        n_chunks = (nfb + 1) * chunk_block
+        # window k of c spans c[h*k-h : h*k+h]: left-pad by h, then chunk
+        cp = jnp.pad(c, ((0, 0), (h, n_chunks * h - t - h)))
+        dp = jnp.pad(d, ((0, 0), (0, n_chunks * h - t)))
+        cc = cp.reshape(batch, n_chunks, h)
+        dc = dp.reshape(batch, n_chunks, h)
+
+        spec1 = pl.BlockSpec(
+            (1, chunk_block, h), lambda b, j: (b, j, 0),
+            memory_space=pltpu.VMEM,
+        )
+        spec2 = pl.BlockSpec(
+            (1, chunk_block, h), lambda b, j: (b, j + 1, 0),
+            memory_space=pltpu.VMEM,
+        )
+        partials = pl.pallas_call(
+            functools.partial(_corr_kernel, h=h),
+            grid=(batch, nfb),
+            in_specs=[spec1, spec2, spec1, wspec],
+            out_specs=pl.BlockSpec(
+                (1, 1, 8, h), lambda b, j: (b, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((batch, nfb, 8, h), jnp.float32),
+            interpret=interpret,
+        )(cc, cc, dc, ws)
 
     s = jnp.sum(partials, axis=1)  # (B, 8, h)
 

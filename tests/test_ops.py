@@ -264,7 +264,10 @@ def test_sdr_fused_correlations_match_xla():
 
     rs = np.random.RandomState(21)
     interpret = jax.default_backend() != "tpu"
-    for t in (16000, 7000):
+    # 16000/7000: padded path (t % 512 != 0). 16384: zero-copy path, single
+    # chunk group (boundary index clamp). 66560: zero-copy path, 130 chunks
+    # -> ragged tail group (in-kernel row masking past k_total).
+    for t in (16000, 7000, 16384, 66560):
         c = jnp.asarray(rs.randn(3, t), jnp.float32)
         d = jnp.asarray(0.8 * np.asarray(c) + 0.3 * rs.randn(3, t), jnp.float32)
         r0, b = correlation_lags(c, (c, d), 512, precision="highest")
