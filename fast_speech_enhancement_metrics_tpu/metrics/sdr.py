@@ -40,19 +40,25 @@ class SDR(BaseMetric):
         "high" (bf16x3, default) measures ~1e-4 dB agreement against the
         1e-2 dB contract with half the MXU passes of "highest".
 
-        ``corr_impl``: "fused" (Pallas kernel — chunk spectra never touch
-        HBM, see ops/sdr_corr_fused.py), "xla" (overlap-save matmuls), or
-        "auto" (fused on a single TPU device at the default precision, xla
+        ``corr_impl``: "gram" (Pallas time-domain Gram-matmul kernel — the
+        lag reduction itself runs on the MXU, no spectral products, see
+        ops/sdr_corr_gram.py), "gram_x1" (same kernel, single bf16 pass —
+        ~1e-4-relative correlations, still ~30x inside the 1e-2 dB
+        contract end-to-end), "fused" (Pallas chunk-DFT kernel,
+        ops/sdr_corr_fused.py), "xla" (overlap-save matmuls), or "auto"
+        (gram on a single TPU device at the default precision, xla
         otherwise)."""
         super().__init__(sample_rate, **kw)
         self.filter_length = 512
         self.zero_mean = False
         self.load_diag = None
         self.precision = precision
-        assert corr_impl in ("auto", "fused", "xla")
+        assert corr_impl in ("auto", "gram", "gram_x1", "fused", "xla")
         self.corr_impl = corr_impl
         #: fused-kernel grid tile (chunks per Pallas grid step, multiple of 8)
         self.chunk_block = 128
+        #: gram-kernel grid tile (frames per Pallas grid step)
+        self.frame_block = 128
         # "levinson" (default): batched static-shape Levinson — on TPU a
         # single Pallas kernel with all recursion state in VMEM
         # (ops/levinson_pallas.py), elsewhere the XLA scan; ~1e-4 dB off
@@ -75,19 +81,48 @@ class SDR(BaseMetric):
         assert clean is not None
         corr_len = self.filter_length
 
-        c = self._preprocess(clean)
-        d = self._preprocess(denoised)
-        # autocorrelation of clean (first Toeplitz row) + cross-correlation,
-        # via MXU block-DFT overlap-save (ops/dft.py) instead of one
-        # 2^ceil(log2(2T-1))-point FFT — ~4x faster on TPU, same values
-        use_fused = self.corr_impl == "fused" or (
-            self.corr_impl == "auto"
-            and self.mesh is None
-            and self._on_tpu()
-            and self.precision == "high"
-            and c.ndim == 2
-        )
-        if use_fused:
+        impl = self.corr_impl
+        if impl == "auto":
+            single_tpu = (
+                self.mesh is None and self._on_tpu()
+                and self.precision == "high" and clean.ndim == 2
+            )
+            # interleaved A/B (tools/prof_sdr_gram.py): gram x3 1.54 vs
+            # fused chunk-DFT 1.77 ms/eval at batch 64 x 16 s, same bf16
+            # hi/lo fidelity class (1.9e-4 dB apart end-to-end)
+            impl = "gram" if single_tpu else "xla"
+        # autocorrelation of clean (first Toeplitz row) + cross-correlation.
+        # The gram path consumes the RAW signals and normalizes the
+        # correlations afterwards — mathematically identical to the
+        # reference's normalize-first (correlations are bilinear, the
+        # coherence ratio is scale-invariant) and it skips a full
+        # (B, T) x2 read+write round-trip of normalized copies.
+        if impl in ("gram", "gram_x1"):
+            from fast_speech_enhancement_metrics_tpu.ops.sdr_corr_gram import (
+                correlation_lags_gram,
+            )
+
+            c = clean.astype(jnp.float32)
+            d = denoised.astype(jnp.float32)
+            if self.zero_mean:
+                c = c - jnp.mean(c, axis=-1, keepdims=True)
+                d = d - jnp.mean(d, axis=-1, keepdims=True)
+            r0, b = correlation_lags_gram(
+                c, d, corr_len,
+                frame_block=self.frame_block,
+                split="x1" if impl == "gram_x1" else "x3",
+                interpret=not self._on_tpu(),
+            )
+            # r_cc[0] = ||c||^2 is already on hand; one fused reduce for d
+            nc2 = jnp.maximum(r0[..., 0:1], 1e-12)  # = clip(||c||, 1e-6)^2
+            nd2 = jnp.maximum(
+                jnp.sum(d * d, axis=-1, keepdims=True), 1e-12
+            )
+            r0 = r0 / nc2
+            b = b / jnp.sqrt(nc2 * nd2)
+        elif impl == "fused":
+            c = self._preprocess(clean)
+            d = self._preprocess(denoised)
             from fast_speech_enhancement_metrics_tpu.ops.sdr_corr_fused import (
                 correlation_lags_fused,
             )
@@ -98,6 +133,8 @@ class SDR(BaseMetric):
                 interpret=not self._on_tpu(),
             )
         else:
+            c = self._preprocess(clean)
+            d = self._preprocess(denoised)
             r0, b = correlation_lags(
                 c, (c, d), corr_len, precision=self.precision
             )

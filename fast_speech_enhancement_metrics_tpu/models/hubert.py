@@ -152,12 +152,18 @@ def _attention(p, x, num_heads, precision, impl="einsum"):
     k = split(_matmul(x, p["k_w"], precision) + p["k_b"])
     v = split(_matmul(x, p["v_w"], precision) + p["v_b"])
 
-    if impl in ("flash", "sdpa"):
+    if impl.startswith(("flash", "sdpa")):
         kernel = _flash_sdpa
-        if impl == "sdpa":
+        if impl.startswith("sdpa"):
+            import functools
+
             from fast_speech_enhancement_metrics_tpu.ops.sdpa_pallas import sdpa
 
-            kernel = sdpa
+            # "sdpa" = exact softmax; "sdpa_exp2" drops the max pass for one
+            # native fp32 exponential; "sdpa_exp2_bf16" runs the exponential
+            # and AV operand in bf16 (characterized in tools/prof_sbs_softmax.py)
+            softmax = {"sdpa": "exact", "sdpa_exp2": "exp2"}.get(impl, "exp2_bf16")
+            kernel = functools.partial(sdpa, softmax=softmax)
         if precision in (None, "default"):
             # Mosaic lowers fp32 matmuls to multi-pass; at default precision
             # feed the kernel bf16 operands (same fidelity class as the bf16

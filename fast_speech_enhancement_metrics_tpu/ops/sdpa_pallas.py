@@ -33,8 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _sdpa_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
-    q = q_ref[0]  # (BQ, D)  pre-scaled by 1/sqrt(D)
+def _sdpa_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int, softmax: str):
+    q = q_ref[0]  # (BQ, D)  pre-scaled by 1/sqrt(D) (and log2 e for exp2 modes)
     k = k_ref[0]  # (TK, D)
     v = v_ref[0]  # (TK, D)
     s = jax.lax.dot_general(
@@ -43,9 +43,19 @@ def _sdpa_kernel(q_ref, k_ref, v_ref, o_ref, *, t_real: int):
     if t_real < s.shape[1]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < t_real, s, -jnp.inf)
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    if softmax == "exact":
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+    elif softmax == "exp2":
+        # q arrives pre-scaled by log2(e): softmax(x) = 2^x2 / sum 2^x2 with
+        # x2 = x*log2(e) — one native exponential, no max pass. The clamp
+        # guards fp32 2^x overflow (x ~ 127) and maps masked -inf columns
+        # to 2^-100 ~ 0; measured |logits*log2e| on the encoder is ~30
+        # (tools/prof_sbs_softmax.py), far inside both bounds
+        p = jnp.exp2(jnp.clip(s, -100.0, 120.0))
+    else:  # "exp2_bf16": the exponential and the AV matmul operand in bf16
+        p = jnp.exp2(jnp.clip(s, -100.0, 120.0).astype(jnp.bfloat16))
+    l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -60,6 +70,7 @@ def sdpa(
     scaling: float,
     block_q: int | None = None,
     interpret: bool = False,
+    softmax: str = "exact",
 ) -> jnp.ndarray:
     """Softmax((q*scaling) @ k^T) @ v over (B, H, T, D) inputs, non-causal.
 
@@ -69,9 +80,16 @@ def sdpa(
     power-of-two block (<= 512) whose fp32 logits tile stays within ~4 MB of
     VMEM, so long sequences (the regime where the einsum path's (B, H, T, T)
     logits exceed HBM) shrink the query block instead of failing.
+
+    ``softmax``: "exact" (max-subtracted fp32 — the torch class), "exp2"
+    (no max pass, one native fp32 exponential — exact in infinite
+    precision, requires |logits| < ~85), "exp2_bf16" (additionally the
+    exponential and AV operand in bf16). Deviation + speed characterized in
+    tools/prof_sbs_softmax.py.
     """
     b, h, t, d = q.shape
     assert k.shape == v.shape == (b, h, t, d)
+    assert softmax in ("exact", "exp2", "exp2_bf16")
     tk = -(-t // 128) * 128
     if block_q is None:
         block_q = 512
@@ -80,6 +98,8 @@ def sdpa(
     bq = min(block_q, tk)
     tq = -(-t // bq) * bq
 
+    if softmax != "exact":
+        scaling = scaling * 1.4426950408889634  # log2(e): exp(x) = 2^(x log2 e)
     qs = (q * jnp.asarray(scaling, q.dtype)).reshape(b * h, t, d)
     ks = k.reshape(b * h, t, d)
     vs = v.reshape(b * h, t, d)
@@ -91,7 +111,7 @@ def sdpa(
 
     kv_spec = pl.BlockSpec((1, tk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_sdpa_kernel, t_real=t),
+        functools.partial(_sdpa_kernel, t_real=t, softmax=softmax),
         grid=(b * h, tq // bq),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),

@@ -290,3 +290,53 @@ def test_sdr_fused_corr_metric_consistency():
     xla = np.array([d["SDR"] for d in SDR(corr_impl="xla")(clean, noisy)])
     fused = np.array([d["SDR"] for d in SDR(corr_impl="fused")(clean, noisy)])
     np.testing.assert_allclose(fused, xla, atol=5e-3)
+
+
+def test_sdr_gram_correlations_match_xla():
+    """The time-domain Gram-matmul kernel (ops/sdr_corr_gram.py — shifted
+    frame Grams on the MXU, roll/column-sum epilogue) matches the XLA
+    overlap-save path; interpret mode on CPU, compiled in the
+    FSEM_TEST_TPU=1 device-consistency matrix. Lengths cover: frame
+    multiple, ragged tail (zero-pad path), sub-block, and a tiny
+    frame_block forcing many cross-block shift boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_speech_enhancement_metrics_tpu.ops.dft import correlation_lags
+    from fast_speech_enhancement_metrics_tpu.ops.sdr_corr_gram import (
+        correlation_lags_gram,
+    )
+
+    rs = np.random.RandomState(23)
+    interpret = jax.default_backend() != "tpu"
+    for t, fb in ((16384, 512), (7000, 512), (66560, 512), (16000, 16)):
+        c = jnp.asarray(rs.randn(3, t), jnp.float32)
+        d = jnp.asarray(0.8 * np.asarray(c) + 0.3 * rs.randn(3, t), jnp.float32)
+        r0, b = correlation_lags(c, (c, d), 512, precision="highest")
+        scale = float(jnp.max(jnp.abs(r0)))
+        ga, gb = correlation_lags_gram(
+            c, d, 512, frame_block=fb, interpret=interpret
+        )
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(r0), atol=2e-4 * scale)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(b), atol=2e-4 * scale)
+        # x1 speed mode: one bf16 pass, ~1e-4-relative correlations
+        ga1, gb1 = correlation_lags_gram(
+            c, d, 512, frame_block=fb, split="x1", interpret=interpret
+        )
+        np.testing.assert_allclose(np.asarray(ga1), np.asarray(r0), atol=5e-3 * scale)
+        np.testing.assert_allclose(np.asarray(gb1), np.asarray(b), atol=5e-3 * scale)
+
+
+def test_sdr_gram_metric_consistency():
+    """gram/gram_x1 full-metric scores vs the XLA path, including the
+    raw-signal normalization fold (scale-invariance of the coherence)."""
+    from fast_speech_enhancement_metrics_tpu import SDR
+
+    rs = np.random.RandomState(24)
+    clean = (5.0 * rs.randn(4, 16000)).astype(np.float32)  # non-unit scale
+    noisy = clean + 1.5 * rs.randn(4, 16000).astype(np.float32)
+    xla = np.array([d["SDR"] for d in SDR(corr_impl="xla")(clean, noisy)])
+    gram = np.array([d["SDR"] for d in SDR(corr_impl="gram")(clean, noisy)])
+    gram1 = np.array([d["SDR"] for d in SDR(corr_impl="gram_x1")(clean, noisy)])
+    np.testing.assert_allclose(gram, xla, atol=5e-3)
+    np.testing.assert_allclose(gram1, xla, atol=2e-2)
