@@ -58,6 +58,7 @@ class DNSMOS(BaseMetric):
         segment_chunk: int | None = None,
         precision: str | None = "default",
         conv_dtype=None,
+        conv_pack: str | tuple | None = "mxu",
         host_chunk: int | None = None,
         shared_conv: bool = False,
         window_plan: str = "shared_exact",
@@ -73,6 +74,19 @@ class DNSMOS(BaseMetric):
         #: e.g. jnp.bfloat16: bf16 conv activations (fp32 accumulate) — halves
         #: the conv stack's HBM traffic
         self.conv_dtype = conv_dtype
+        #: "mxu" (default): width-packed conv weights — the trunk's 32/64
+        #: output channels starve the MXU lane axis; packing 2-8 adjacent
+        #: frequency positions into the channel axis trades <=2x padded
+        #: FLOPs for 2-4x utilization at identical math (see
+        #: models/dnsmos_net.py::MXU_CONV_PACK, tools/prof_dnsmos_pack.py).
+        #: None: plain SAME convs.
+        if conv_pack == "mxu":
+            from fast_speech_enhancement_metrics_tpu.models.dnsmos_net import (
+                MXU_CONV_PACK,
+            )
+
+            conv_pack = MXU_CONV_PACK
+        self.conv_pack = conv_pack
         #: like segment_chunk, but the chunk loop runs in Python over ONE
         #: jitted per-chunk net graph instead of a lax.map inside the metric
         #: graph — same results and throughput, a fraction of the compile
@@ -103,7 +117,9 @@ class DNSMOS(BaseMetric):
             import jax
 
             self._net_jitted = jax.jit(
-                lambda w: dnsmos_net(self.params, w, self.precision, self.conv_dtype)
+                lambda w: dnsmos_net(
+                    self.params, w, self.precision, self.conv_dtype, self.conv_pack
+                )
             )
             self._segment_jitted = jax.jit(self._segment)
         self.params = load_params(checkpoint, dtype=self.dtype)
@@ -157,6 +173,7 @@ class DNSMOS(BaseMetric):
                     self.hop // 160,
                     self.precision,
                     self.conv_dtype,
+                    self.conv_pack,
                 )
 
             setattr(self, key, jax.jit(shared_fn))
@@ -239,6 +256,7 @@ class DNSMOS(BaseMetric):
                 self.hop // 160,
                 self.precision,
                 self.conv_dtype,
+                self.conv_pack,
             ).reshape(-1, 3)
             calibrated = (
                 jnp.asarray(POLY_C)
@@ -260,11 +278,15 @@ class DNSMOS(BaseMetric):
             if pad:
                 windows = jnp.concatenate([windows, windows[:pad]], axis=0)
             raw = jax.lax.map(
-                lambda w: dnsmos_net(self.params, w, self.precision, self.conv_dtype),
+                lambda w: dnsmos_net(
+                    self.params, w, self.precision, self.conv_dtype, self.conv_pack
+                ),
                 windows.reshape(-1, chunk, self.window),
             ).reshape(-1, 3)[:n]
         else:
-            raw = dnsmos_net(self.params, windows, self.precision, self.conv_dtype)
+            raw = dnsmos_net(
+                self.params, windows, self.precision, self.conv_dtype, self.conv_pack
+            )
         raw = raw.astype(jnp.float32)
         calibrated = (
             jnp.asarray(POLY_C)

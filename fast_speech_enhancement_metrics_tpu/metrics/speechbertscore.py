@@ -52,6 +52,7 @@ class SpeechBERTScore(BaseMetric):
         host_chunk: int | None = None,
         act_dtype=None,
         gelu: str = "auto",
+        softmax: str = "auto",
         **kw,
     ):
         """``precision="default"`` = bf16 MXU passes, the TPU analogue of the
@@ -79,6 +80,15 @@ class SpeechBERTScore(BaseMetric):
         if gelu == "auto":
             gelu = "erf" if precision == "highest" else "tanh"
         self.gelu = gelu
+        #: "exp2": max-free softmax (2^x with log2e folded into the logit
+        #: scale — exact up to fp32 rounding, overflow-clamped; see
+        #: models/hubert.py::_attention). "auto" ties it to precision like
+        #: gelu: exp2 on the reduced-precision default path, exact at
+        #: "highest".
+        assert softmax in ("auto", "exact", "exp2")
+        if softmax == "auto":
+            softmax = "exact" if precision == "highest" else "exp2"
+        self.softmax = softmax
         #: attention logits are (b, 12, T, T) — chunking the utterance axis
         #: caps peak HBM for long-audio/large-batch workloads
         self.batch_chunk = batch_chunk
@@ -197,6 +207,7 @@ class SpeechBERTScore(BaseMetric):
                     attention_impl=impl,
                     act_dtype=self.act_dtype,
                     gelu=self.gelu,
+                    softmax=self.softmax,
                 )
             )
         encode_jitted = self._encode_jitted_by_impl[impl]
@@ -253,6 +264,7 @@ class SpeechBERTScore(BaseMetric):
                 attention_impl=impl,
                 act_dtype=self.act_dtype,
                 gelu=self.gelu,
+                softmax=self.softmax,
             )
 
         if chunk is not None and speech.shape[0] > chunk:

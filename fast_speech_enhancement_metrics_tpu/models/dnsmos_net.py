@@ -95,20 +95,68 @@ def _log_power_features(params, audio, precision):
     return jnp.log10(jnp.maximum(power, 1e-12))
 
 
-def _conv_layer(params, x, n, precision):
+#: MXU width-packing factors per conv layer. The trunk's channel counts
+#: (128, 64, 64, 32, 32, 32, 64) starve the MXU's 128-lane output axis
+#: (N = C_out caps utilization at 50%/25%), and conv0's K = 3*3*1 = 9
+#: starves the contraction axis. Packing p adjacent FREQUENCY positions
+#: into the output-channel axis — kernel (3,3) -> (3, 3+p-1), stride
+#: (1, p), C_out -> p*C_out with zero-stuffed weights — trades <=2x
+#: padded FLOPs for 2-4x lane utilization: identical math (the stuffed
+#: zeros multiply real inputs, the real taps see the same SAME-padded
+#: window), bit-class-identical outputs, ~1.9x end-to-end
+#: (tools/prof_dnsmos_pack.py). Factors chosen so p*C_out = 128-256 and
+#: conv0's K reaches 3*(8+2) = 30.
+MXU_CONV_PACK = (8, 2, 2, 4, 4, 4, 2)
+
+
+def _packed_weights(w, p):
+    """(kh, 3, ci, co) SAME-conv weights -> (kh, 3+p-1, ci, p*co) weights
+    computing p adjacent width outputs per stride-p step:
+    W'[kh, kw, ci, a*co + c] = W[kh, kw - a, ci, c] for 0 <= kw - a < 3."""
+    kh, kw, ci, co = w.shape
+    wp = jnp.zeros((kh, kw + p - 1, ci, p * co), w.dtype)
+    for a in range(p):
+        wp = wp.at[:, a : a + kw, :, a * co : (a + 1) * co].set(w)
+    return wp
+
+
+def _conv_layer(params, x, n, precision, pack=None):
     in_dtype = x.dtype  # conv output is fp32 (preferred_element_type); keep
     # the activation stream in the caller's dtype so bf16 mode stays bf16
-    x = lax.conv_general_dilated(
-        x,
-        params[f"conv{n}_w"].astype(x.dtype),
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        # TPU MXU default truncates conv inputs to bf16 (~1e-2 activation
-        # error after 7 layers); HIGHEST keeps fp32-equivalent accuracy
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )
+    w = params[f"conv{n}_w"]
+    p = 1 if pack is None else pack[n]
+    if p > 1:
+        batch, height, width, _ = x.shape
+        co = w.shape[3]
+        wo = -(-width // p)
+        x = lax.conv_general_dilated(
+            x,
+            _packed_weights(w, p).astype(x.dtype),
+            window_strides=(1, p),
+            # height stays SAME (3 -> (1,1)); width pad reproduces SAME for
+            # every original position covered by the wo stride-p steps
+            padding=[(1, 1), (1, wo * p + 1 - width)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        # bias/relu/cast BEFORE the unpack reshape so they fuse into the
+        # conv epilogue — reshaping the raw fp32 conv output materializes
+        # a full-size fp32 relayout copy (8.5 GB at batch 64)
+        x = jnp.maximum(x + jnp.tile(params[f"conv{n}_b"], p), 0.0).astype(in_dtype)
+        return x.reshape(batch, height, wo * p, co)[:, :, :width]
+    else:
+        x = lax.conv_general_dilated(
+            x,
+            w.astype(x.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            # TPU MXU default truncates conv inputs to bf16 (~1e-2 activation
+            # error after 7 layers); HIGHEST keeps fp32-equivalent accuracy
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )
     return jnp.maximum(x + params[f"conv{n}_b"], 0.0).astype(in_dtype)
 
 
@@ -126,15 +174,15 @@ def _output_mlp(params, pooled):
     return dense(h, 2)
 
 
-def _trunk_conv0_5(params, z, precision, conv_dtype):
+def _trunk_conv0_5(params, z, precision, conv_dtype, pack=None):
     if conv_dtype is not None:
         z = z.astype(conv_dtype)
     for n in range(4):
-        z = _conv_layer(params, z, n, precision)
+        z = _conv_layer(params, z, n, precision, pack)
     z = _max_pool_2x2(z)
-    z = _conv_layer(params, z, 4, precision)
+    z = _conv_layer(params, z, 4, precision, pack)
     z = _max_pool_2x2(z)
-    return _conv_layer(params, z, 5, precision)  # (N, T/4, 40, 32)
+    return _conv_layer(params, z, 5, precision, pack)  # (N, T/4, 40, 32)
 
 
 def dnsmos_net_shared(
@@ -144,6 +192,7 @@ def dnsmos_net_shared(
     frames_per_hop: int = 100,
     precision=lax.Precision.HIGHEST,
     conv_dtype=None,
+    conv_pack=None,
 ) -> jnp.ndarray:
     """Shared-conv evaluation of all 9.01 s windows of (B, T) audio at once.
 
@@ -169,13 +218,13 @@ def dnsmos_net_shared(
             f"{frames_per_hop}"
         )
     feats = _log_power_features(params, audio, "highest")
-    x = _trunk_conv0_5(params, feats[..., None], precision, conv_dtype)  # (B, T6, 40, 32)
+    x = _trunk_conv0_5(params, feats[..., None], precision, conv_dtype, conv_pack)  # (B, T6, 40, 32)
 
     phases = []
     for phase in (0, 1):
         xp = x if phase == 0 else x[:, 1:, :, :]
         xp = _max_pool_2x2(xp)
-        phases.append(_conv_layer(params, xp, 6, precision))  # (B, Tp, 20, 64)
+        phases.append(_conv_layer(params, xp, 6, precision, conv_pack))  # (B, Tp, 20, 64)
 
     window_cells = 900 // 8  # 112 pooled cells per 9.01 s window
     pooled = []
@@ -220,6 +269,7 @@ def dnsmos_net_windowed_exact(
     frames_per_hop: int = 100,
     precision=lax.Precision.HIGHEST,
     conv_dtype=None,
+    conv_pack=None,
 ) -> jnp.ndarray:
     """Exact windowed DNSMOS of (B, T) audio with the conv trunk shared.
 
@@ -251,12 +301,12 @@ def dnsmos_net_windowed_exact(
     # exactly neutral inside this full graph (tools/prof_dnsmos_split.py,
     # prof_dnsmos_split_e2e.py) — XLA schedules the fused graph differently
     # than the standalone stack, so the simple form stays.
-    x = _trunk_conv0_5(params, feats[..., None], precision, conv_dtype)
+    x = _trunk_conv0_5(params, feats[..., None], precision, conv_dtype, conv_pack)
     phases = []
     for phase in (0, 1):
         xp = x if phase == 0 else x[:, 1:, :, :]
         xp = _max_pool_2x2(xp)
-        phases.append(_conv_layer(params, xp, 6, precision))  # (B, P, 20, 64)
+        phases.append(_conv_layer(params, xp, 6, precision, conv_pack))  # (B, P, 20, 64)
 
     def edge_cells(start: int, length: int):
         """Stack per-window feature strips, run the conv stack with the
@@ -268,9 +318,9 @@ def dnsmos_net_windowed_exact(
             ],
             axis=1,
         ).reshape(batch * num_windows, length, feats.shape[2])
-        z = _trunk_conv0_5(params, strip[..., None], precision, conv_dtype)
+        z = _trunk_conv0_5(params, strip[..., None], precision, conv_dtype, conv_pack)
         z = _max_pool_2x2(z)
-        return _conv_layer(params, z, 6, precision)
+        return _conv_layer(params, z, 6, precision, conv_pack)
 
     left = edge_cells(0, _LEFT_STRIP)[:, :_EDGE_LEFT_CELLS]
     right = edge_cells(_WINDOW_FRAMES - _RIGHT_STRIP, _RIGHT_STRIP)[
@@ -302,6 +352,7 @@ def dnsmos_net(
     audio: jnp.ndarray,
     precision=lax.Precision.HIGHEST,
     conv_dtype=None,
+    conv_pack=None,
 ) -> jnp.ndarray:
     """(N, 144160) audio windows at 16 kHz -> (N, 3) raw SIG/BAK/OVR.
 
@@ -313,7 +364,7 @@ def dnsmos_net(
     if conv_dtype is not None:
         x = x.astype(conv_dtype)
     for n in range(len(CONV_CHANNELS)):
-        x = _conv_layer(params, x, n, precision)
+        x = _conv_layer(params, x, n, precision, conv_pack)
         if n in POOL_AFTER:
             x = _max_pool_2x2(x)
 

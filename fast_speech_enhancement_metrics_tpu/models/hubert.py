@@ -84,11 +84,49 @@ def _conv1d(x, w, stride=1, padding="VALID", groups=1, precision=None):
     )
 
 
+#: time-packing factor for the first feature-encoder conv. Its (10, 1, 512)
+#: kernel gives the MXU a K = 10 contraction (~8% of the 128-deep systolic
+#: array) — measured ~20 ms of the FE's 70 ms at the bench shape. Packing p
+#: adjacent time outputs into the channel axis (kernel 10 -> 5p + 5, stride
+#: 5 -> 5p, C_out -> p*512, zero-stuffed weights) raises K to 5p + 5 at
+#: identical math. p = 24 puts K at 125 (one full pass): A/B in
+#: tools/prof_sbs_fe_pack.py.
+FE_CONV0_PACK = 24
+
+
+def _packed_conv0(x, w, stride: int, p: int, precision):
+    """x: (B, T, 1), w: (K, 1, C) VALID/stride conv == packed
+    (K + (p-1)*stride, 1, p*C) conv at stride p*stride + reshape."""
+    k, _, c = w.shape
+    t_out = (x.shape[1] - k) // stride + 1
+    to_p = -(-t_out // p)
+    wp = jnp.zeros((k + (p - 1) * stride, 1, p * c), w.dtype)
+    for a in range(p):
+        wp = wp.at[a * stride : a * stride + k, :, a * c : (a + 1) * c].set(w)
+    need = (to_p - 1) * p * stride + wp.shape[0]
+    if need > x.shape[1]:
+        x = jnp.pad(x, ((0, 0), (0, need - x.shape[1]), (0, 0)))
+    y = lax.conv_general_dilated(
+        x,
+        wp.astype(x.dtype),
+        window_strides=(p * stride,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=precision,
+    )
+    return y.reshape(x.shape[0], to_p * p, c)[:, :t_out]
+
+
 def feature_encoder(params, audio, config: HubertConfig, precision=None, gelu="erf"):
     """(B, T) raw audio -> (B, frames, conv_dim[-1]) conv features."""
     x = audio[..., None]  # NWC with one channel
     for i, layer in enumerate(params["feature_encoder"]):
-        x = _conv1d(x, layer["w"], stride=config.conv_stride[i], precision=precision)
+        if i == 0 and FE_CONV0_PACK > 1 and x.shape[1] >= 4 * FE_CONV0_PACK * config.conv_stride[0]:
+            x = _packed_conv0(
+                x, layer["w"], config.conv_stride[0], FE_CONV0_PACK, precision
+            )
+        else:
+            x = _conv1d(x, layer["w"], stride=config.conv_stride[i], precision=precision)
         if "b" in layer:
             x = x + layer["b"]
         if config.feat_extract_norm == "group" and i == 0:
@@ -140,7 +178,7 @@ def _flash_sdpa(q, k, v, scaling):
     return out[:, :, :t, :] if pad else out
 
 
-def _attention(p, x, num_heads, precision, impl="einsum"):
+def _attention(p, x, num_heads, precision, impl="einsum", softmax="exact"):
     b, t, d = x.shape
     head_dim = d // num_heads
     scaling = head_dim**-0.5
@@ -148,9 +186,15 @@ def _attention(p, x, num_heads, precision, impl="einsum"):
     def split(h):
         return h.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
 
-    q = split(_matmul(x, p["q_w"], precision) + p["q_b"])
-    k = split(_matmul(x, p["k_w"], precision) + p["k_b"])
-    v = split(_matmul(x, p["v_w"], precision) + p["v_b"])
+    # one fused (d, 3d) projection instead of three: a third of the
+    # activation reads and one full-width MXU pass (the weight concat is a
+    # few MB, re-formed per call — negligible next to the (B*T, d) operand)
+    qkv_w = jnp.concatenate([p["q_w"], p["k_w"], p["v_w"]], axis=1)
+    qkv_b = jnp.concatenate([p["q_b"], p["k_b"], p["v_b"]])
+    qkv = _matmul(x, qkv_w, precision) + qkv_b
+    q = split(qkv[..., :d])
+    k = split(qkv[..., d : 2 * d])
+    v = split(qkv[..., 2 * d :])
 
     if impl.startswith(("flash", "sdpa")):
         kernel = _flash_sdpa
@@ -173,6 +217,17 @@ def _attention(p, x, num_heads, precision, impl="einsum"):
             ctx = kernel(q, k, v, scaling).astype(out_dtype)
         else:
             ctx = kernel(q, k, v, scaling)
+    elif softmax == "exp2":
+        # max-free softmax: fold log2(e) into the logit scale and normalize
+        # unshifted 2^x — exact in infinite precision (softmax shift
+        # invariance), overflow-guarded by the clamp (fp32 2^x holds to
+        # x ~ 127; encoder logits measure |x·log2e| ~ 9). Drops the max
+        # reduce + subtract passes over the (B, H, T, T) tensor.
+        s2 = scaling * 1.4426950408889634
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * s2, k, precision=precision)
+        pw = jnp.exp2(jnp.clip(logits.astype(jnp.float32), -100.0, 120.0))
+        weights = (pw / jnp.sum(pw, axis=-1, keepdims=True)).astype(logits.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", weights, v, precision=precision)
     else:
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * scaling, k, precision=precision)
         # softmax in fp32 regardless of the activation dtype; with bf16
@@ -188,7 +243,8 @@ def _attention(p, x, num_heads, precision, impl="einsum"):
 
 
 def _encoder_layer(
-    p, x, config: HubertConfig, precision, attention_impl="einsum", gelu="erf"
+    p, x, config: HubertConfig, precision, attention_impl="einsum", gelu="erf",
+    softmax="exact",
 ):
     eps = config.layer_norm_eps
     approx = gelu == "tanh"
@@ -199,13 +255,17 @@ def _encoder_layer(
             config.num_attention_heads,
             precision,
             attention_impl,
+            softmax,
         )
         h = _layer_norm(x, p["ln2_s"], p["ln2_b"], eps)
         h = jax.nn.gelu(_matmul(h, p["ff_w1"], precision) + p["ff_b1"], approximate=approx)
         return x + (_matmul(h, p["ff_w2"], precision) + p["ff_b2"])
     # post-LN (HuBERT-base / mHuBERT-147)
     x = _layer_norm(
-        x + _attention(p, x, config.num_attention_heads, precision, attention_impl),
+        x
+        + _attention(
+            p, x, config.num_attention_heads, precision, attention_impl, softmax
+        ),
         p["ln1_s"],
         p["ln1_b"],
         eps,
@@ -225,6 +285,7 @@ def hubert_hidden_state(
     attention_impl: str = "einsum",
     act_dtype=None,
     gelu: str = "erf",
+    softmax: str = "exact",
 ) -> jnp.ndarray:
     """(B, T) audio -> (B, frames, hidden) == HF ``hidden_states[output_layer]``.
 
@@ -277,7 +338,9 @@ def hubert_hidden_state(
         x = _layer_norm(x, enc["s"], enc["b"], config.layer_norm_eps)
 
     for p in params["layers"][:output_layer]:
-        x = _encoder_layer(p, x, config, precision, attention_impl, gelu=gelu)
+        x = _encoder_layer(
+            p, x, config, precision, attention_impl, gelu=gelu, softmax=softmax
+        )
 
     if config.do_stable_layer_norm and output_layer == config.num_hidden_layers:
         # pre-LN stack: encoder LayerNorm applies after the FINAL layer, and
