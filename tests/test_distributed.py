@@ -1,0 +1,72 @@
+"""Real multi-process ``jax.distributed`` exercise (2 processes, CPU backend).
+
+The reference has no distributed runtime at all (SURVEY.md §2); the
+single-process mesh tests (tests/test_parallel.py) prove the sharding math,
+and this test proves the *process-group* path actually executes:
+``initialize_distributed`` forms a 2-process group over a localhost
+coordinator, the global (data=8) mesh spans both processes' virtual CPU
+devices, LSD runs data-parallel with GSPMD-inserted collectives, and the
+all-gathered scores must equal a single-process run.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_data_parallel_lsd(tmp_path):
+    worker = Path(__file__).parent / "distributed_worker.py"
+    out = tmp_path / "scores.npz"
+    port = _free_port()
+
+    env_base = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+    procs = []
+    for pid in range(2):
+        env = dict(
+            env_base,
+            FSEM_DIST_COORD=f"localhost:{port}",
+            FSEM_DIST_NPROC="2",
+            FSEM_DIST_PID=str(pid),
+            FSEM_DIST_OUT=str(out),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+
+    outputs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(stdout)
+
+    for pid, (p, stdout) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{stdout[-3000:]}"
+        assert f"WORKER_OK pid={pid}" in stdout
+
+    data = np.load(out)
+    np.testing.assert_allclose(data["distributed"], data["single"], atol=5e-5)
