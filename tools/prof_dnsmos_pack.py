@@ -36,7 +36,7 @@ rng = np.random.default_rng(0)
 den = jnp.asarray(0.1 * rng.standard_normal((BATCH, DUR * 16000)), dtype=jnp.float32)
 
 metrics = {
-    "plain": DNSMOS(conv_dtype=jnp.bfloat16),
+    "plain": DNSMOS(conv_dtype=jnp.bfloat16, conv_pack=None),
     "packed": DNSMOS(conv_dtype=jnp.bfloat16, conv_pack="mxu"),
 }
 
@@ -44,7 +44,7 @@ scores = {}
 for name, m in metrics.items():
     t0 = time.perf_counter()
     scores[name] = {
-        k: np.asarray(v) for k, v in m._compute_resampled(None, den).items()
+        k: np.asarray(v) for k, v in m._jitted(None, den).items()
     }
     print(f"# compiled {name} in {time.perf_counter()-t0:.1f}s", flush=True)
 
