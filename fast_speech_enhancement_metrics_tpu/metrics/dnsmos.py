@@ -58,7 +58,7 @@ class DNSMOS(BaseMetric):
         segment_chunk: int | None = None,
         precision: str | None = "default",
         conv_dtype=None,
-        conv_pack: str | tuple | None = "mxu",
+        conv_pack: str | tuple | None = None,
         host_chunk: int | None = None,
         shared_conv: bool = False,
         window_plan: str = "shared_exact",
@@ -74,12 +74,13 @@ class DNSMOS(BaseMetric):
         #: e.g. jnp.bfloat16: bf16 conv activations (fp32 accumulate) — halves
         #: the conv stack's HBM traffic
         self.conv_dtype = conv_dtype
-        #: "mxu" (default): width-packed conv weights — the trunk's 32/64
-        #: output channels starve the MXU lane axis; packing 2-8 adjacent
-        #: frequency positions into the channel axis trades <=2x padded
-        #: FLOPs for 2-4x utilization at identical math (see
-        #: models/dnsmos_net.py::MXU_CONV_PACK, tools/prof_dnsmos_pack.py).
-        #: None: plain SAME convs.
+        #: width-packed conv weights ("mxu" = MXU_CONV_PACK): packs adjacent
+        #: frequency positions into the channel axis to raise MXU lane
+        #: utilization at identical math. Measured 2.1x SLOWER end-to-end
+        #: (96.5 -> 202 ms/eval at batch 64, tools/prof_dnsmos_pack.py):
+        #: XLA's TPU conv emitter already schedules the channel-starved
+        #: layers better than the padded-FLOP trade. Default None; the
+        #: option and the probe stay as the recorded negative A/B.
         if conv_pack == "mxu":
             from fast_speech_enhancement_metrics_tpu.models.dnsmos_net import (
                 MXU_CONV_PACK,

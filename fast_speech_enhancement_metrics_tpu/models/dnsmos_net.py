@@ -103,9 +103,11 @@ def _log_power_features(params, audio, precision):
 #: (1, p), C_out -> p*C_out with zero-stuffed weights — trades <=2x
 #: padded FLOPs for 2-4x lane utilization: identical math (the stuffed
 #: zeros multiply real inputs, the real taps see the same SAME-padded
-#: window), bit-class-identical outputs, ~1.9x end-to-end
-#: (tools/prof_dnsmos_pack.py). Factors chosen so p*C_out = 128-256 and
-#: conv0's K reaches 3*(8+2) = 30.
+#: window), bit-class-identical outputs (2.6e-5 score dev). MEASURED
+#: NEGATIVE end-to-end: 202 vs 96.5 ms/eval at batch 64
+#: (tools/prof_dnsmos_pack.py) — XLA's conv emitter already schedules the
+#: starved layers better than the padded-FLOP trade, so this is NOT the
+#: default; kept as the recorded A/B.
 MXU_CONV_PACK = (8, 2, 2, 4, 4, 4, 2)
 
 

@@ -90,7 +90,7 @@ def _conv1d(x, w, stride=1, padding="VALID", groups=1, precision=None):
 #: adjacent time outputs into the channel axis (kernel 10 -> 5p + 5, stride
 #: 5 -> 5p, C_out -> p*512, zero-stuffed weights) raises K to 5p + 5 at
 #: identical math. p = 24 puts K at 125 (one full pass): A/B in
-#: tools/prof_sbs_fe_pack.py.
+#: tools/prof_sbs_r4.py.
 FE_CONV0_PACK = 24
 
 
