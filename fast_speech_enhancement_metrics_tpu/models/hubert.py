@@ -84,14 +84,14 @@ def _conv1d(x, w, stride=1, padding="VALID", groups=1, precision=None):
     )
 
 
-#: time-packing factor for the first feature-encoder conv. Its (10, 1, 512)
-#: kernel gives the MXU a K = 10 contraction (~8% of the 128-deep systolic
-#: array) — measured ~20 ms of the FE's 70 ms at the bench shape. Packing p
-#: adjacent time outputs into the channel axis (kernel 10 -> 5p + 5, stride
-#: 5 -> 5p, C_out -> p*512, zero-stuffed weights) raises K to 5p + 5 at
-#: identical math. p = 24 puts K at 125 (one full pass): A/B in
-#: tools/prof_sbs_r4.py.
-FE_CONV0_PACK = 24
+#: time-packing factor for the first feature-encoder conv (1 = off).
+#: Hypothesis: the (10, 1, 512) kernel's K = 10 contraction starves the
+#: 128-deep MXU; packing p time outputs into the channel axis (kernel
+#: 10 -> 5p+5, stride 5 -> 5p, C_out -> p*512) raises K at identical math
+#: (dev 0 on CPU). MEASURED NEGATIVE at p = 24: 296 vs 285 ms/eval on the
+#: full metric (tools/prof_sbs_r4.py) — XLA's conv emitter does not pay
+#: the naive K/128 penalty, so the transform stays available but OFF.
+FE_CONV0_PACK = 1
 
 
 def _packed_conv0(x, w, stride: int, p: int, precision):
