@@ -107,6 +107,9 @@ class DNSMOS(BaseMetric):
             raise ValueError(f"unknown window_plan: {window_plan!r}")
         self.window_plan = window_plan
         self.host_chunk = host_chunk
+        #: HBM cap (GB) for the shared_exact trunk's conv0 feature map;
+        #: larger batches split into equal row chunks under a lax.map
+        self.shared_chunk_gb = 6.0
         if shared_conv and host_chunk is None:
             raise ValueError("shared_conv requires host_chunk (utterances per step)")
         if host_chunk is not None:
@@ -250,15 +253,43 @@ class DNSMOS(BaseMetric):
         if self.window_plan == "shared_exact":
             audio = self._tile_to_window(denoised)
             num_windows = (audio.shape[1] - self.window) // self.hop + 1
-            raw = dnsmos_net_windowed_exact(
-                self.params,
-                audio,
-                num_windows,
-                self.hop // 160,
-                self.precision,
-                self.conv_dtype,
-                self.conv_pack,
-            ).reshape(-1, 3)
+
+            def net(a):
+                return dnsmos_net_windowed_exact(
+                    self.params,
+                    a,
+                    num_windows,
+                    self.hop // 160,
+                    self.precision,
+                    self.conv_dtype,
+                    self.conv_pack,
+                )
+
+            # auto-chunk the utterance axis: the trunk's conv0 feature map is
+            # (B, frames, 161, 128) — ~8.4 GB at batch 128 x 16 s in bf16 —
+            # so large batches split into the fewest equal row chunks that
+            # keep it under ~6 GB (identical scores; chunk exactness
+            # asserted in tests/test_dnsmos.py)
+            bytes_per = 2 if self.conv_dtype is not None else 4
+            frames = audio.shape[1] // 160 - 1
+            fm_gb = batch * frames * 161 * 128 * bytes_per / 1e9
+            chunk = None
+            cap = self.shared_chunk_gb
+            if fm_gb > cap and batch > 8:
+                n_chunks = int(-(-fm_gb // cap))
+                per_chunk = -(-batch // n_chunks)
+                chunk = max(8, -(-per_chunk // 8) * 8)
+            if chunk is not None and batch > chunk:
+                import jax
+
+                pad = (-batch) % chunk
+                if pad:
+                    audio = jnp.concatenate([audio, audio[:pad]], axis=0)
+                raw = jax.lax.map(
+                    net, audio.reshape(-1, chunk, audio.shape[1])
+                ).reshape(-1, num_windows, 3)[:batch].reshape(-1, 3)
+            else:
+                raw = net(audio).reshape(-1, 3)
             calibrated = (
                 jnp.asarray(POLY_C)
                 + jnp.asarray(POLY_B1) * raw

@@ -118,3 +118,19 @@ def test_dnsmos_range(speech_data):
     for r in metric(None, speech_data["noisy_speech"]):
         for key in ("SIG", "BAK", "OVRL"):
             assert 1.0 <= r[key] <= 5.0
+
+
+def test_dnsmos_shared_exact_batch_chunking():
+    """The shared_exact auto batch-chunk (large-batch HBM cap) must not
+    change scores: forced tiny chunks vs the fused single-graph path."""
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(9)
+    noisy = (0.1 * rs.randn(12, 160000)).astype(np.float32)
+    fused = DNSMOS(conv_dtype=jnp.bfloat16)(None, noisy)
+    chunky = DNSMOS(conv_dtype=jnp.bfloat16)
+    chunky.shared_chunk_gb = 1e-3  # force the lax.map row-chunk path
+    chunked = chunky(None, noisy)
+    for a, b in zip(fused, chunked):
+        for k in ("SIG", "BAK", "OVRL"):
+            assert a[k] == pytest.approx(b[k], abs=5e-5)

@@ -42,7 +42,7 @@ from fast_speech_enhancement_metrics_tpu.models.dnsmos_net import (
 ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 BATCH, DUR = 64, 16
 CHAIN = 32
-NUM_W = 8
+NUM_W = 7  # (256000 - 144160) // 16000 + 1
 HOP_F = 100
 
 params = load_params()
