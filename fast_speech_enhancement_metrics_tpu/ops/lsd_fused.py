@@ -205,7 +205,8 @@ def _lsd_wholesig(clean, denoised, n_fft, hop, eps, precision, interpret):
 
 
 def _lsd_wholesig_raw_kernel(
-    scale_ref, c_ref, d_ref, w_ref, out_ref, *, eps, precision
+    scale_ref, c_ref, d_ref, w_ref, out_ref, *, eps, precision,
+    in_kernel_scale=False,
 ):
     """Whole-signal kernel over RAW hop-aligned chunk rows (no padded copy).
 
@@ -221,8 +222,20 @@ def _lsd_wholesig_raw_kernel(
     the chunks in VMEM, so the (B, T) pad/scale copies that cost ~0.3 ms of
     HBM round-trips per batch-64 eval in the padded formulation never
     happen; HBM sees each signal exactly once.
+
+    ``in_kernel_scale``: the least-squares projection scale
+    sum(c*d)/(sum(d*d)+eps) is computed HERE from the resident chunk slabs
+    instead of arriving via ``scale_ref`` — the XLA prep otherwise
+    re-reads both full (B, T) signals just for two reductions (~0.25
+    ms/eval at batch 64; round-4 floor decomposition put the whole kernel
+    at 1.21 ms, tools/prof_lsd_floor.py).
     """
     b = pl.program_id(0)
+    if in_kernel_scale:
+        cc0, dd0 = c_ref[0], d_ref[0]
+        num = jnp.sum(cc0 * dd0)
+        den = jnp.sum(dd0 * dd0)
+        _scale = (num / (den + eps)).reshape(1, 1)
 
     def mags(ref, scale):
         chunks = ref[0]  # (NC, hop) raw rows, NC = T/hop
@@ -248,7 +261,9 @@ def _lsd_wholesig_raw_kernel(
         return (m_int, m_edge), (e_int, e_edge)
 
     (ci, ce), (cei, cee) = mags(c_ref, None)
-    (di, de), (dei, dee) = mags(d_ref, scale_ref[b, 0])
+    (di, de), (dei, dee) = mags(
+        d_ref, _scale if in_kernel_scale else scale_ref[b, 0]
+    )
     n_bins_total = ci.shape[1] + 3  # n_fft/2 + 1 one-sided bins
     # keepdims: a 1D intermediate trips a Mosaic relayout bug at this length
     frame_ms = (
@@ -271,21 +286,27 @@ def _lsd_wholesig_raw_kernel(
 
 def _lsd_wholesig_raw(clean, denoised, scale, hop, eps, precision, interpret):
     """Zero-copy whole-signal path: requires T % hop == 0 and an 8-aligned
-    chunk count (both hold for the benchmark's even-second 16 kHz clips)."""
+    chunk count (both hold for the benchmark's even-second 16 kHz clips).
+    ``scale="auto"`` computes the projection scale in-kernel."""
     batch, t = clean.shape
     nc = t // hop
 
     c = clean.astype(jnp.float32).reshape(batch, nc, hop)
     d = denoised.astype(jnp.float32).reshape(batch, nc, hop)
     w = jnp.asarray(_chunk_rdft_matrix_packed(2 * hop))
-    scale = scale.astype(jnp.float32).reshape(batch, 1)
+    in_kernel = isinstance(scale, str) and scale == "auto"
+    if in_kernel:
+        scale = jnp.zeros((1, 1), jnp.float32)  # unused placeholder
+    else:
+        scale = scale.astype(jnp.float32).reshape(batch, 1)
 
     sig_spec = pl.BlockSpec(
         (1, nc, hop), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )
     sums = pl.pallas_call(
         functools.partial(
-            _lsd_wholesig_raw_kernel, eps=eps, precision=precision
+            _lsd_wholesig_raw_kernel, eps=eps, precision=precision,
+            in_kernel_scale=in_kernel,
         ),
         grid=(batch,),
         in_specs=[
@@ -423,10 +444,15 @@ def lsd_scores(
     t = clean.shape[1]
     f = num_frames(t + n_fft, n_fft, hop)
     if denoised_scale is not None:
+        auto = isinstance(denoised_scale, str) and denoised_scale == "auto"
         nc = t // hop
         if t % hop == 0 and nc % 8 == 0 and f + 1 <= MAX_WHOLESIG_CHUNKS:
             return _lsd_wholesig_raw(
                 clean, denoised, denoised_scale, hop, eps, precision, interpret
+            )
+        if auto:
+            denoised_scale = jnp.sum(clean * denoised, axis=1) / (
+                jnp.sum(denoised * denoised, axis=1) + eps
             )
         denoised = denoised * denoised_scale.reshape(-1, 1)
     if f + 1 <= MAX_WHOLESIG_CHUNKS:
