@@ -43,8 +43,9 @@ class SDR(BaseMetric):
         ``corr_impl``: "gram" (Pallas time-domain Gram-matmul kernel — the
         lag reduction itself runs on the MXU, no spectral products, see
         ops/sdr_corr_gram.py), "gram_x1" (same kernel, single bf16 pass —
-        ~1e-4-relative correlations, still ~30x inside the 1e-2 dB
-        contract end-to-end), "fused" (Pallas chunk-DFT kernel,
+        ~1e-4-relative correlations; measured up to 1.3e-2 dB on 16 s
+        fixtures, i.e. AT/OVER the 1e-2 contract boundary — an
+        out-of-contract screening mode, never auto-selected), "fused" (Pallas chunk-DFT kernel,
         ops/sdr_corr_fused.py), "xla" (overlap-save matmuls), or "auto"
         (gram on a single TPU device at the default precision, xla
         otherwise)."""

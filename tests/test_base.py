@@ -53,7 +53,10 @@ def test_resample_path_matches_native_rate(speech_data):
 
 
 def test_sdr_self_reference_saturates(speech_data):
-    """SDR(c, c) hits the 1e-8 coherence clamp ceiling (~80 dB) by design."""
+    """SDR(c, c) saturates at the solve's self-coherence resolution: ~80 dB
+    (1e-8 clamp ceiling) on the fp32 DFT paths, ~56 dB on the default
+    bf16-hi/lo Gram path (the x3 split's ~2.5e-6 coherence residual). Either
+    way: a perfect-match sentinel far above any physical score."""
     results = SDR()(speech_data["speech"], speech_data["speech"])
     for r in results:
         assert r["SDR"] > 40.0
