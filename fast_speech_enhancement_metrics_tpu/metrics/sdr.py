@@ -40,9 +40,11 @@ class SDR(BaseMetric):
         "high" (bf16x3, default) measures ~1e-4 dB agreement against the
         1e-2 dB contract with half the MXU passes of "highest".
 
-        ``corr_impl``: "gram" (Pallas time-domain Gram-matmul kernel — the
-        lag reduction itself runs on the MXU, no spectral products, see
-        ops/sdr_corr_gram.py), "gram_x1" (same kernel, single bf16 pass —
+        ``corr_impl``: "gram_x4" (Pallas time-domain Gram-matmul kernel —
+        the lag reduction itself runs on the MXU, no spectral products,
+        full bf16 hi/lo product: 2.9e-4 dB vs the float64 oracle, see
+        ops/sdr_corr_gram.py), "gram" (x3 split: drops the lo*lo term —
+        ~12% faster stage at 1.5e-3 dB), "gram_x1" (single bf16 pass —
         ~1e-4-relative correlations; measured up to 1.3e-2 dB on 16 s
         fixtures, i.e. AT/OVER the 1e-2 contract boundary — an
         out-of-contract screening mode, never auto-selected), "fused" (Pallas chunk-DFT kernel,
@@ -54,12 +56,13 @@ class SDR(BaseMetric):
         self.zero_mean = False
         self.load_diag = None
         self.precision = precision
-        assert corr_impl in ("auto", "gram", "gram_x1", "fused", "xla")
+        assert corr_impl in ("auto", "gram", "gram_x1", "gram_x4", "fused", "xla")
         self.corr_impl = corr_impl
         #: fused-kernel grid tile (chunks per Pallas grid step, multiple of 8)
         self.chunk_block = 128
-        #: gram-kernel grid tile (frames per Pallas grid step)
-        self.frame_block = 128
+        #: gram-kernel grid tile (frames per Pallas grid step; 512 = the
+        #: interleaved-A/B winner, tools/prof_sdr_gram.py)
+        self.frame_block = 512
         # "levinson" (default): batched static-shape Levinson — on TPU a
         # single Pallas kernel with all recursion state in VMEM
         # (ops/levinson_pallas.py), elsewhere the XLA scan; ~1e-4 dB off
@@ -88,17 +91,20 @@ class SDR(BaseMetric):
                 self.mesh is None and self._on_tpu()
                 and self.precision == "high" and clean.ndim == 2
             )
-            # interleaved A/B (tools/prof_sdr_gram.py): gram x3 1.54 vs
-            # fused chunk-DFT 1.77 ms/eval at batch 64 x 16 s, same bf16
-            # hi/lo fidelity class (1.9e-4 dB apart end-to-end)
-            impl = "gram" if single_tpu else "xla"
+            # interleaved A/Bs (tools/prof_sdr_gram.py + round-4 x4 run):
+            # correlation stage at batch 64 x 16 s — gram x4 1.75 ms (oracle
+            # dev 2.9e-4 dB, inside the reference's own published 8e-4
+            # class; 80 dB self-coherence), x3 1.53 ms (1.5e-3 dB), fused
+            # chunk-DFT 1.77 ms (2.5e-4 dB). x4 is the default: fastest
+            # formulation that stays in the reference's deviation class.
+            impl = "gram_x4" if single_tpu else "xla"
         # autocorrelation of clean (first Toeplitz row) + cross-correlation.
         # The gram path consumes the RAW signals and normalizes the
         # correlations afterwards — mathematically identical to the
         # reference's normalize-first (correlations are bilinear, the
         # coherence ratio is scale-invariant) and it skips a full
         # (B, T) x2 read+write round-trip of normalized copies.
-        if impl in ("gram", "gram_x1"):
+        if impl.startswith("gram"):
             from fast_speech_enhancement_metrics_tpu.ops.sdr_corr_gram import (
                 correlation_lags_gram,
             )
@@ -111,7 +117,7 @@ class SDR(BaseMetric):
             r0, b = correlation_lags_gram(
                 c, d, corr_len,
                 frame_block=self.frame_block,
-                split="x1" if impl == "gram_x1" else "x3",
+                split={"gram_x1": "x1", "gram_x4": "x4"}.get(impl, "x3"),
                 interpret=not self._on_tpu(),
             )
             # r_cc[0] = ||c||^2 is already on hand; one fused reduce for d

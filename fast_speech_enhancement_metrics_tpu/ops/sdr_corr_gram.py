@@ -101,13 +101,17 @@ def _gram_kernel(
     b_op = jnp.concatenate(shifts(c_blk, c_nxt) + shifts(d_blk, d_nxt), axis=1)
 
     dims = (((0,), (0,)), ((), ()))
-    if splits == 3:
+    if splits in (3, 4):
         ah = c_blk.astype(jnp.bfloat16)
         al = (c_blk - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-        a = jnp.concatenate([ah, ah, al], axis=0)
         bh = b_op.astype(jnp.bfloat16)
         bl = (b_op - bh.astype(jnp.float32)).astype(jnp.bfloat16)
-        b = jnp.concatenate([bh, bl, bh], axis=0)
+        if splits == 4:  # full product incl. lo*lo (bf16x6-equivalent class)
+            a = jnp.concatenate([ah, ah, al, al], axis=0)
+            b = jnp.concatenate([bh, bl, bh, bl], axis=0)
+        else:
+            a = jnp.concatenate([ah, ah, al], axis=0)
+            b = jnp.concatenate([bh, bl, bh], axis=0)
         g_ref[:] += jax.lax.dot_general(
             a, b, dims, preferred_element_type=jnp.float32
         )
@@ -186,7 +190,7 @@ def correlation_lags_gram(
     assert c.ndim == 2 and c.shape == d.shape
     hb = 128
     assert n_lags % hb == 0, f"lag count must be lane-aligned, got {n_lags}"
-    assert split in ("x1", "x3")
+    assert split in ("x1", "x3", "x4")
     n_shifts = n_lags // hb
     batch, t = c.shape
 
@@ -220,7 +224,7 @@ def correlation_lags_gram(
             fb=fb,
             f_total=f_total,
             n_shifts=n_shifts,
-            splits=3 if split == "x3" else 1,
+            splits={"x1": 1, "x3": 3, "x4": 4}[split],
         ),
         grid=(batch, n_fb),
         in_specs=[spec1, spec2, spec1, spec2],
