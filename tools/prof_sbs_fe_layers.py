@@ -35,7 +35,7 @@ from fast_speech_enhancement_metrics_tpu.models.hubert import (
 
 ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 CHAIN = 16
-ROWS, T = 128, 256000
+ROWS, T = 32, 256000  # quarter batch: full-size chains OOM; scale x4
 
 params = jax.tree.map(
     lambda a: a.astype(jnp.bfloat16),
