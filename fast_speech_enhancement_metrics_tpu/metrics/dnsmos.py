@@ -87,6 +87,8 @@ class DNSMOS(BaseMetric):
             )
 
             conv_pack = MXU_CONV_PACK
+        elif isinstance(conv_pack, str):
+            raise ValueError(f"unknown conv_pack: {conv_pack!r} (use 'mxu', a per-layer tuple, or None)")
         self.conv_pack = conv_pack
         #: like segment_chunk, but the chunk loop runs in Python over ONE
         #: jitted per-chunk net graph instead of a lax.map inside the metric
@@ -270,15 +272,23 @@ class DNSMOS(BaseMetric):
             # so large batches split into the fewest equal row chunks that
             # keep it under ~6 GB (identical scores; chunk exactness
             # asserted in tests/test_dnsmos.py)
-            bytes_per = 2 if self.conv_dtype is not None else 4
+            bytes_per = (
+                jnp.dtype(self.conv_dtype).itemsize
+                if self.conv_dtype is not None
+                else 4
+            )
             frames = audio.shape[1] // 160 - 1
             fm_gb = batch * frames * 161 * 128 * bytes_per / 1e9
             chunk = None
             cap = self.shared_chunk_gb
-            if fm_gb > cap and batch > 8:
+            if fm_gb > cap and batch > 1:
                 n_chunks = int(-(-fm_gb // cap))
-                per_chunk = -(-batch // n_chunks)
-                chunk = max(8, -(-per_chunk // 8) * 8)
+                per_chunk = max(1, -(-batch // n_chunks))
+                # 8-row alignment only when the batch affords it (long-audio
+                # small batches still need per-row chunking to stay in HBM)
+                chunk = (
+                    max(8, -(-per_chunk // 8) * 8) if batch >= 16 else per_chunk
+                )
             if chunk is not None and batch > chunk:
                 import jax
 

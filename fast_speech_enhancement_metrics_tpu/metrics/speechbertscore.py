@@ -208,6 +208,7 @@ class SpeechBERTScore(BaseMetric):
                     act_dtype=self.act_dtype,
                     gelu=self.gelu,
                     softmax=self.softmax,
+                    fused_qkv=self.mesh is None,
                 )
             )
         encode_jitted = self._encode_jitted_by_impl[impl]
@@ -265,6 +266,9 @@ class SpeechBERTScore(BaseMetric):
                 act_dtype=self.act_dtype,
                 gelu=self.gelu,
                 softmax=self.softmax,
+                # TP shards q/k/v column-wise over 'model'; the fused concat
+                # would cut across shard boundaries (see models/hubert.py)
+                fused_qkv=self.mesh is None,
             )
 
         if chunk is not None and speech.shape[0] > chunk:

@@ -178,7 +178,9 @@ def _flash_sdpa(q, k, v, scaling):
     return out[:, :, :t, :] if pad else out
 
 
-def _attention(p, x, num_heads, precision, impl="einsum", softmax="exact"):
+def _attention(
+    p, x, num_heads, precision, impl="einsum", softmax="exact", fused_qkv=True
+):
     b, t, d = x.shape
     head_dim = d // num_heads
     scaling = head_dim**-0.5
@@ -186,15 +188,24 @@ def _attention(p, x, num_heads, precision, impl="einsum", softmax="exact"):
     def split(h):
         return h.reshape(b, t, num_heads, head_dim).transpose(0, 2, 1, 3)
 
-    # one fused (d, 3d) projection instead of three: a third of the
-    # activation reads and one full-width MXU pass (the weight concat is a
-    # few MB, re-formed per call — negligible next to the (B*T, d) operand)
-    qkv_w = jnp.concatenate([p["q_w"], p["k_w"], p["v_w"]], axis=1)
-    qkv_b = jnp.concatenate([p["q_b"], p["k_b"], p["v_b"]])
-    qkv = _matmul(x, qkv_w, precision) + qkv_b
-    q = split(qkv[..., :d])
-    k = split(qkv[..., d : 2 * d])
-    v = split(qkv[..., 2 * d :])
+    if fused_qkv:
+        # one fused (d, 3d) projection instead of three: a third of the
+        # activation reads and one full-width MXU pass (the weight concat is
+        # a few MB, re-formed per call — negligible next to the (B*T, d)
+        # operand). Disabled under tensor parallelism: q_w/k_w/v_w are
+        # column-sharded over the 'model' axis, and concatenating along the
+        # sharded dim + slicing back across shard boundaries would force
+        # GSPMD to reshard the projections every layer.
+        qkv_w = jnp.concatenate([p["q_w"], p["k_w"], p["v_w"]], axis=1)
+        qkv_b = jnp.concatenate([p["q_b"], p["k_b"], p["v_b"]])
+        qkv = _matmul(x, qkv_w, precision) + qkv_b
+        q = split(qkv[..., :d])
+        k = split(qkv[..., d : 2 * d])
+        v = split(qkv[..., 2 * d :])
+    else:
+        q = split(_matmul(x, p["q_w"], precision) + p["q_b"])
+        k = split(_matmul(x, p["k_w"], precision) + p["k_b"])
+        v = split(_matmul(x, p["v_w"], precision) + p["v_b"])
 
     if impl.startswith(("flash", "sdpa")):
         kernel = _flash_sdpa
@@ -203,11 +214,17 @@ def _attention(p, x, num_heads, precision, impl="einsum", softmax="exact"):
 
             from fast_speech_enhancement_metrics_tpu.ops.sdpa_pallas import sdpa
 
-            # "sdpa" = exact softmax; "sdpa_exp2" drops the max pass for one
-            # native fp32 exponential; "sdpa_exp2_bf16" runs the exponential
-            # and AV operand in bf16 (characterized in tools/prof_sbs_softmax.py)
-            softmax = {"sdpa": "exact", "sdpa_exp2": "exp2"}.get(impl, "exp2_bf16")
-            kernel = functools.partial(sdpa, softmax=softmax)
+            # "sdpa" inherits the caller's softmax mode ("exact"/"exp2");
+            # "sdpa_exp2"/"sdpa_exp2_bf16" force a kernel mode explicitly
+            # (characterized in tools/prof_sbs_softmax.py)
+            kernel_softmax = {
+                "sdpa": softmax if softmax in ("exact", "exp2") else "exact",
+                "sdpa_exp2": "exp2",
+                "sdpa_exp2_bf16": "exp2_bf16",
+            }.get(impl)
+            if kernel_softmax is None:
+                raise ValueError(f"unknown attention impl: {impl!r}")
+            kernel = functools.partial(sdpa, softmax=kernel_softmax)
         if precision in (None, "default"):
             # Mosaic lowers fp32 matmuls to multi-pass; at default precision
             # feed the kernel bf16 operands (same fidelity class as the bf16
@@ -244,7 +261,7 @@ def _attention(p, x, num_heads, precision, impl="einsum", softmax="exact"):
 
 def _encoder_layer(
     p, x, config: HubertConfig, precision, attention_impl="einsum", gelu="erf",
-    softmax="exact",
+    softmax="exact", fused_qkv=True,
 ):
     eps = config.layer_norm_eps
     approx = gelu == "tanh"
@@ -256,6 +273,7 @@ def _encoder_layer(
             precision,
             attention_impl,
             softmax,
+            fused_qkv,
         )
         h = _layer_norm(x, p["ln2_s"], p["ln2_b"], eps)
         h = jax.nn.gelu(_matmul(h, p["ff_w1"], precision) + p["ff_b1"], approximate=approx)
@@ -264,7 +282,8 @@ def _encoder_layer(
     x = _layer_norm(
         x
         + _attention(
-            p, x, config.num_attention_heads, precision, attention_impl, softmax
+            p, x, config.num_attention_heads, precision, attention_impl,
+            softmax, fused_qkv,
         ),
         p["ln1_s"],
         p["ln1_b"],
@@ -286,6 +305,7 @@ def hubert_hidden_state(
     act_dtype=None,
     gelu: str = "erf",
     softmax: str = "exact",
+    fused_qkv: bool = True,
 ) -> jnp.ndarray:
     """(B, T) audio -> (B, frames, hidden) == HF ``hidden_states[output_layer]``.
 
@@ -339,7 +359,8 @@ def hubert_hidden_state(
 
     for p in params["layers"][:output_layer]:
         x = _encoder_layer(
-            p, x, config, precision, attention_impl, gelu=gelu, softmax=softmax
+            p, x, config, precision, attention_impl, gelu=gelu, softmax=softmax,
+            fused_qkv=fused_qkv,
         )
 
     if config.do_stable_layer_norm and output_layer == config.num_hidden_layers:

@@ -21,20 +21,12 @@ import pytest
 
 def _free_port() -> int:
     with socket.socket() as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         s.bind(("localhost", 0))
         return s.getsockname()[1]
 
 
-def test_two_process_data_parallel_lsd(tmp_path):
-    worker = Path(__file__).parent / "distributed_worker.py"
-    out = tmp_path / "scores.npz"
-    port = _free_port()
-
-    env_base = {
-        k: v
-        for k, v in os.environ.items()
-        if not k.startswith(("JAX_", "XLA_"))
-    }
+def _launch(port, out, env_base, worker):
     procs = []
     for pid in range(2):
         env = dict(
@@ -53,7 +45,6 @@ def test_two_process_data_parallel_lsd(tmp_path):
                 text=True,
             )
         )
-
     outputs = []
     for p in procs:
         try:
@@ -63,6 +54,24 @@ def test_two_process_data_parallel_lsd(tmp_path):
                 q.kill()
             raise
         outputs.append(stdout)
+    return procs, outputs
+
+
+def test_two_process_data_parallel_lsd(tmp_path):
+    worker = Path(__file__).parent / "distributed_worker.py"
+    out = tmp_path / "scores.npz"
+    env_base = {
+        k: v
+        for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+
+    # the free-port probe is inherently racy (the socket closes before the
+    # coordinator binds it) — retry once on a fresh port before failing
+    for attempt in range(2):
+        procs, outputs = _launch(_free_port(), out, env_base, worker)
+        if all(p.returncode == 0 for p in procs) or attempt == 1:
+            break
 
     for pid, (p, stdout) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{stdout[-3000:]}"
