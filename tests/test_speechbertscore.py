@@ -231,3 +231,50 @@ def test_gelu_tanh_deviation_within_bf16_class(speech_data):
         for a, b in zip(truth, tanh)
     )
     assert dev < 2e-3, dev  # bf16-act measured ~6e-4 on the same fixture
+
+
+def test_sdpa_inherits_softmax_mode_and_rejects_unknown_impl():
+    """Regression (round-4 review): the sdpa attention path must inherit the
+    caller's exact/exp2 softmax mode rather than silently overriding it, and
+    unknown 'sdpa*' impl strings must raise instead of defaulting to the
+    lowest-fidelity kernel mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from fast_speech_enhancement_metrics_tpu.models.hubert import _attention
+
+    rs = np.random.RandomState(5)
+    d = 64
+    p = {
+        "q_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "q_b": jnp.zeros(d), "k_b": jnp.zeros(d), "v_b": jnp.zeros(d),
+        "k_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "v_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "o_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "o_b": jnp.zeros(d),
+    }
+    x = jnp.asarray(rs.randn(1, 16, d), jnp.float32)
+    kw = dict(num_heads=2, precision="highest")
+
+    # interpret-mode sdpa on CPU: exact vs exp2 agree to fp32 rounding but
+    # must both run (exp2 multiplies the logit scale by log2 e — a wrong
+    # plumbing would change results at the 1e-2 level, not 1e-6)
+    import fast_speech_enhancement_metrics_tpu.ops.sdpa_pallas as sp
+
+    orig = sp.sdpa
+    sp.sdpa = lambda *a, **k: orig(*a, interpret=True, **k)
+    try:
+        a = _attention(p, x, impl="sdpa", softmax="exact", **kw)
+        b = _attention(p, x, impl="sdpa", softmax="exp2", **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        with pytest.raises(ValueError):
+            _attention(p, x, impl="sdpa_bf16", **kw)  # typo'd impl
+    finally:
+        sp.sdpa = orig
+
+
+def test_dnsmos_conv_pack_validates():
+    from fast_speech_enhancement_metrics_tpu import DNSMOS
+
+    with pytest.raises(ValueError):
+        DNSMOS(conv_pack="MXU")
