@@ -102,3 +102,19 @@ def test_long_audio_on_tpu():
     assert sbs._resolve_impl(clean.shape[1], 4) == "sdpa"
     scores = sbs(clean, noisy)
     assert all(np.isfinite(r["SpeechBERTScore"]) for r in scores)
+
+
+def test_sdr_gram_long_audio_matches_xla():
+    """The Gram correlation kernel on an 80 s clip (grid deep in the
+    frame-block accumulation regime) vs the XLA overlap-save path."""
+    import jax
+
+    from fast_speech_enhancement_metrics_tpu import SDR
+
+    rs = np.random.RandomState(41)
+    t = 80 * 16000
+    clean = rs.randn(2, t).astype(np.float32)
+    noisy = clean + 0.3 * rs.randn(2, t).astype(np.float32)
+    xla = np.array([d["SDR"] for d in SDR(corr_impl="xla")(clean, noisy)])
+    gram = np.array([d["SDR"] for d in SDR(corr_impl="gram_x4")(clean, noisy)])
+    np.testing.assert_allclose(gram, xla, atol=5e-3)
