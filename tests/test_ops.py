@@ -309,7 +309,7 @@ def test_sdr_gram_correlations_match_xla():
 
     rs = np.random.RandomState(23)
     interpret = jax.default_backend() != "tpu"
-    for t, fb in ((16384, 512), (7000, 512), (66560, 512), (16000, 16)):
+    for t, fb in ((16384, 512), (7000, 512), (66560, 512), (16000, 16), (150, 512)):
         c = jnp.asarray(rs.randn(3, t), jnp.float32)
         d = jnp.asarray(0.8 * np.asarray(c) + 0.3 * rs.randn(3, t), jnp.float32)
         r0, b = correlation_lags(c, (c, d), 512, precision="highest")
