@@ -47,8 +47,9 @@ class SDR(BaseMetric):
         ~12% faster stage at 1.5e-3 dB), "gram_x1" (single bf16 pass —
         ~1e-4-relative correlations; measured up to 1.3e-2 dB on 16 s
         fixtures, i.e. AT/OVER the 1e-2 contract boundary — an
-        out-of-contract screening mode, never auto-selected), "fused" (Pallas chunk-DFT kernel,
-        ops/sdr_corr_fused.py), "xla" (overlap-save matmuls), or "auto"
+        out-of-contract screening mode, never auto-selected), "fused"
+        (Pallas chunk-DFT kernel, ops/sdr_corr_fused.py), "xla"
+        (overlap-save matmuls), or "auto"
         (gram on a single TPU device at the default precision, xla
         otherwise)."""
         super().__init__(sample_rate, **kw)

@@ -147,18 +147,17 @@ def _conv_layer(params, x, n, precision, pack=None):
         # a full-size fp32 relayout copy (8.5 GB at batch 64)
         x = jnp.maximum(x + jnp.tile(params[f"conv{n}_b"], p), 0.0).astype(in_dtype)
         return x.reshape(batch, height, wo * p, co)[:, :, :width]
-    else:
-        x = lax.conv_general_dilated(
-            x,
-            w.astype(x.dtype),
-            window_strides=(1, 1),
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            # TPU MXU default truncates conv inputs to bf16 (~1e-2 activation
-            # error after 7 layers); HIGHEST keeps fp32-equivalent accuracy
-            precision=precision,
-            preferred_element_type=jnp.float32,
-        )
+    x = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # TPU MXU default truncates conv inputs to bf16 (~1e-2 activation
+        # error after 7 layers); HIGHEST keeps fp32-equivalent accuracy
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
     return jnp.maximum(x + params[f"conv{n}_b"], 0.0).astype(in_dtype)
 
 

@@ -100,16 +100,18 @@ def _gram_kernel(
 
     b_op = jnp.concatenate(shifts(c_blk, c_nxt) + shifts(d_blk, d_nxt), axis=1)
 
+    def hi_lo(x):
+        xh = x.astype(jnp.bfloat16)
+        return xh, (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+
     dims = (((0,), (0,)), ((), ()))
     if splits in (3, 4):
-        ah = c_blk.astype(jnp.bfloat16)
-        al = (c_blk - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-        bh = b_op.astype(jnp.bfloat16)
-        bl = (b_op - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        ah, al = hi_lo(c_blk)
+        bh, bl = hi_lo(b_op)
         if splits == 4:  # full product incl. lo*lo (bf16x6-equivalent class)
             a = jnp.concatenate([ah, ah, al, al], axis=0)
             b = jnp.concatenate([bh, bl, bh, bl], axis=0)
-        else:
+        else:  # x3: drop the lo*lo term (XLA Precision.HIGH class)
             a = jnp.concatenate([ah, ah, al], axis=0)
             b = jnp.concatenate([bh, bl, bh], axis=0)
         g_ref[:] += jax.lax.dot_general(
