@@ -100,12 +100,26 @@ class BaseMetric(abc.ABC):
             )
         return self.device
 
+    def _data_axis_size(self) -> int:
+        if self.mesh is None:
+            return 1
+        return dict(self.mesh.shape).get("data", 1)
+
     def prepare_audio(self, audio: Any) -> jnp.ndarray:
         a = _to_numpy(audio).astype(np.float32)
         if a.ndim == 1:
             a = a[None, :]
         if a.ndim != 2:
             raise ValueError(f"audio must be 1-D or 2-D, got shape {a.shape}")
+        # under a mesh, pad the batch up to a data-axis multiple so any batch
+        # size shards (P("data") requires divisibility); scores are
+        # per-utterance, so pad rows (replicas of the last row — real audio,
+        # no degenerate-input numerics) cannot leak into real scores and are
+        # sliced off host-side in ``compute``
+        n = self._data_axis_size()
+        if n > 1 and a.shape[0] % n:
+            pad = n - a.shape[0] % n
+            a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)], axis=0)
         return jax.device_put(a, self._sharding())
 
     def prepare_inputs(self, clean_speech, denoised_speech):
@@ -146,8 +160,13 @@ class BaseMetric(abc.ABC):
 
     def compute(self, clean_speech, denoised_speech) -> dict[str, jnp.ndarray]:
         """Functional API: returns a dict of per-utterance score arrays (on device)."""
+        a = _to_numpy(denoised_speech)
+        b0 = 1 if a.ndim == 1 else a.shape[0]
         clean, denoised = self.prepare_inputs(clean_speech, denoised_speech)
-        return self._run_prepared(clean, denoised)
+        scores = self._run_prepared(clean, denoised)
+        if b0 != denoised.shape[0]:  # mesh pad rows (prepare_audio)
+            scores = {k: v[:b0] for k, v in scores.items()}
+        return scores
 
     def __call__(self, clean_speech, denoised_speech) -> list[dict[str, float]]:
         if _is_ragged(denoised_speech):

@@ -285,10 +285,13 @@ class DNSMOS(BaseMetric):
                 n_chunks = int(-(-fm_gb // cap))
                 per_chunk = max(1, -(-batch // n_chunks))
                 # 8-row alignment only when the batch affords it (long-audio
-                # small batches still need per-row chunking to stay in HBM)
-                chunk = (
-                    max(8, -(-per_chunk // 8) * 8) if batch >= 16 else per_chunk
-                )
+                # small batches still need per-row chunking to stay in HBM).
+                # Round DOWN to the sublane multiple: rounding up let a
+                # chunk carry ~1.8x the shared_chunk_gb cap near batch
+                # boundaries (e.g. batch 17 -> per_chunk 9 -> chunk 16),
+                # defeating the HBM guard the chunking exists for
+                aligned = per_chunk // 8 * 8
+                chunk = aligned if (batch >= 16 and aligned >= 8) else per_chunk
             if chunk is not None and batch > chunk:
                 import jax
 

@@ -105,6 +105,13 @@ class SDR(BaseMetric):
         # reference's normalize-first (correlations are bilinear, the
         # coherence ratio is scale-invariant) and it skips a full
         # (B, T) x2 read+write round-trip of normalized copies.
+        # Scope of the equivalence: the reference clamps the NORM before
+        # correlating (clip(||x||, 1e-6), SDR.py:22-24), so for a
+        # near-silent signal (||x|| < 1e-6 — i.e. 16 s of audio with RMS
+        # below 2e-9) it divides by the floor while this fold divides by
+        # the true energy; such degenerate inputs give different (equally
+        # meaningless) SDR values. Non-degenerate inputs are bit-for-bit
+        # the same formula.
         if impl.startswith("gram"):
             from fast_speech_enhancement_metrics_tpu.ops.sdr_corr_gram import (
                 correlation_lags_gram,

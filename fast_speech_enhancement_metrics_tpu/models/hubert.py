@@ -207,8 +207,15 @@ def _attention(
         k = split(_matmul(x, p["k_w"], precision) + p["k_b"])
         v = split(_matmul(x, p["v_w"], precision) + p["v_b"])
 
-    if impl.startswith(("flash", "sdpa")):
+    if impl not in ("einsum", "flash", "sdpa", "sdpa_exp2", "sdpa_exp2_bf16"):
+        raise ValueError(f"unknown attention impl: {impl!r}")
+    if impl in ("flash", "sdpa", "sdpa_exp2", "sdpa_exp2_bf16"):
         kernel = _flash_sdpa
+        if impl == "flash" and softmax == "exp2":
+            # the flash kernel always runs the exact (max-shifted) softmax;
+            # coerce rather than raise so "auto" impl selection can cross the
+            # flash threshold under the exp2 default (same scores class)
+            softmax = "exact"
         if impl.startswith("sdpa"):
             import functools
 

@@ -324,6 +324,229 @@ def _lsd_wholesig_raw(clean, denoised, scale, hop, eps, precision, interpret):
     return sums[:, 0] / (nc + 1)
 
 
+@functools.lru_cache(maxsize=None)
+def _ct_constants():
+    """Twiddles + 64-point complex-DFT matrix for the factorized chunk DFT.
+
+    The 512-point DFT of the zero-padded hop-chunk factorizes as three
+    radix-2 decimation-in-frequency folds (pure VPU adds + twiddle
+    multiplies; level 1 absorbs the zero padding for free) followed by
+    eight 64-point complex DFTs — the only MXU stage, at HALF the MACs of
+    the dense (256, 512) chunk-DFT matmul: 8 x 128 x 128 = 131 k vs
+    2 x 256 x 512 = 262 k per clean/denoised chunk pair (the pair rides as
+    one complex signal z = c + i*scale*d, unpacked by Hermitian symmetry
+    in the epilogue). Validated against np.fft in tools/proto_lsd_ct.py.
+
+    Returns (tw, w2): ``tw`` (8, 256) packs the three twiddle vectors
+    [w1re, w1im, w2re|0, w2im|0, w3re|0, w3im|0, 0, 0]; ``w2`` (128, 128)
+    maps a packed [re(64) | im(64)] branch to its packed 64-bin spectrum.
+    """
+    tw = np.zeros((8, 256), dtype=np.float64)
+    t1 = np.arange(256)
+    tw[0] = np.cos(-2 * np.pi * t1 / 512)
+    tw[1] = np.sin(-2 * np.pi * t1 / 512)
+    t2 = np.arange(128)
+    tw[2, :128] = np.cos(-2 * np.pi * t2 / 256)
+    tw[3, :128] = np.sin(-2 * np.pi * t2 / 256)
+    t3 = np.arange(64)
+    tw[4, :64] = np.cos(-2 * np.pi * t3 / 128)
+    tw[5, :64] = np.sin(-2 * np.pi * t3 / 128)
+    ang = -2 * np.pi * np.outer(np.arange(64), np.arange(64)) / 64
+    c, s = np.cos(ang), np.sin(ang)
+    w2 = np.block([[c, -s], [s, c]])  # [re|im] @ w2 -> [Re Z | Im Z]
+    return tw.astype(np.float32), w2.astype(np.float32)
+
+
+def _ct_branch_spectra(zre, zim, tw, w2, precision):
+    """(NC, 256) complex chunk slab -> 8 branch spectra, each ((NC, 64) re,
+    (NC, 64) im), bin k = 8m + br. Three DIF folds + one matmul per branch."""
+    w1re, w1im = tw[0:1, :], tw[1:2, :]
+    w2re, w2im = tw[2:3, :128], tw[3:4, :128]
+    w3re, w3im = tw[4:5, :64], tw[5:6, :64]
+
+    def cmul(are, aim, bre, bim):
+        return are * bre - aim * bim, are * bim + aim * bre
+
+    def fold(vre, vim, wre, wim):
+        h = vre.shape[1] // 2
+        are, aim = vre[:, :h], vim[:, :h]
+        bre, bim = vre[:, h:], vim[:, h:]
+        ere, eim = are + bre, aim + bim
+        ore, oim = cmul(are - bre, aim - bim, wre, wim)
+        return (ere, eim), (ore, oim)
+
+    l1 = [(zre, zim), cmul(zre, zim, w1re, w1im)]  # j1 = 0, 1
+    out = [None] * 8
+    for j1, v in enumerate(l1):
+        e2, o2 = fold(*v, w2re, w2im)
+        for j2, u in enumerate((e2, o2)):
+            e3, o3 = fold(*u, w3re, w3im)
+            for j3, w in enumerate((e3, o3)):
+                out[j1 + 2 * j2 + 4 * j3] = w
+
+    spectra = []
+    for bre, bim in out:
+        y = _dot_f32(jnp.concatenate([bre, bim], axis=1), w2, precision)
+        spectra.append((y[:, :64], y[:, 64:]))
+    return spectra
+
+
+def _ct_slab_sum(x, eps):
+    """Per-frame sum of squared log-ratios over the 257 one-sided bins, from
+    8 branch frame-spectra ``x[br] = (Xre (F, 64), Xim (F, 64))`` in the
+    scrambled bin layout k = 8m + br of the packed z = c + i*d transform.
+
+    Cyclic frequency-domain Hann (branch-neighbor taps with lane-roll
+    carries), then Hermitian unpack |C|^2 = |Y + conj(M)|^2 / 4,
+    |D|^2 = |Y - conj(M)|^2 / 4 with the mirror M[k] = Y[(512-k) mod 512].
+    Mirror symmetry halves the work: |C|,|D| at branch 8-br are a lane
+    permutation of branch br, so only branches {0, 1, 2, 3, 4} get the
+    magnitude/log epilogue; pairs (1,7), (2,6), (3,5) count twice and the
+    self-paired 0, 4 once, giving the full-k sum; the one-sided sum is
+    (full + bin0 + bin256) / 2. Derivation tested in tools/proto_lsd_ct.py.
+    """
+    def hann(b):
+        # Y[k] = 0.5 X[k] - 0.25 (X[k-1] + X[k+1]); k±1 = br±1 with m-carry
+        if b >= 1:
+            m1re, m1im = x[b - 1]
+        else:
+            m1re = pltpu.roll(x[7][0], 1, axis=1)
+            m1im = pltpu.roll(x[7][1], 1, axis=1)
+        if b <= 6:
+            p1re, p1im = x[b + 1]
+        else:
+            p1re = pltpu.roll(x[0][0], -1, axis=1)
+            p1im = pltpu.roll(x[0][1], -1, axis=1)
+        return (
+            0.5 * x[b][0] - 0.25 * (m1re + p1re),
+            0.5 * x[b][1] - 0.25 * (m1im + p1im),
+        )
+
+    y = [hann(b) for b in range(8)]
+
+    def flip(a):
+        return a[:, ::-1]
+
+    def g(yb, m):
+        yre, yim = yb
+        mre, mim = m
+        cre, cim = 0.5 * (yre + mre), 0.5 * (yim - mim)
+        dre, dim = 0.5 * (yim + mim), 0.5 * (mre - yre)
+        return _sq_log_ratio(cre * cre + cim * cim, dre * dre + dim * dim, eps)
+
+    g0 = g(y[0], (pltpu.roll(flip(y[0][0]), 1, axis=1),
+                  pltpu.roll(flip(y[0][1]), 1, axis=1)))
+    g4 = g(y[4], (flip(y[4][0]), flip(y[4][1])))
+    paired = sum(
+        jnp.sum(g(y[b], (flip(y[8 - b][0]), flip(y[8 - b][1]))),
+                axis=1, keepdims=True)
+        for b in (1, 2, 3)
+    )
+    full = (
+        2.0 * paired
+        + jnp.sum(g0, axis=1, keepdims=True)
+        + jnp.sum(g4, axis=1, keepdims=True)
+    )
+    # bins k=0 (br 0, m 0) and k=256 (br 0, m 32) appear once in the full-k
+    # sum; one-sided needs them once more before halving
+    lanes = jax.lax.broadcasted_iota(jnp.int32, g0.shape, 1)
+    extra = jnp.sum(
+        jnp.where((lanes == 0) | (lanes == 32), g0, 0.0), axis=1, keepdims=True
+    )
+    return 0.5 * (full + extra)
+
+
+def _lsd_wholesig_ct_kernel(
+    scale_ref, c_ref, d_ref, tw_ref, w2_ref, out_ref, *, eps, precision,
+    in_kernel_scale=False,
+):
+    """Whole-signal raw-chunk kernel with the factorized (radix-2 DIF) chunk
+    DFT — same semantics as ``_lsd_wholesig_raw_kernel``, half the MXU MACs.
+
+    The clean/denoised pair rides as ONE complex signal z = c + i*scale*d
+    through the factorized 512-point transform; frame combine and the Hann
+    tap act on the packed spectra (both commute with the Hermitian unpack,
+    which happens inside the magnitude epilogue of ``_ct_slab_sum``).
+    """
+    b = pl.program_id(0)
+    cc = c_ref[0]  # (NC, hop) raw rows
+    dd = d_ref[0]
+    if in_kernel_scale:
+        num = jnp.sum(cc * dd)
+        den = jnp.sum(dd * dd)
+        scale = num / (den + eps)
+    else:
+        scale = scale_ref[b, 0]
+    tw = tw_ref[:]
+    spectra = _ct_branch_spectra(cc, dd * scale, tw, w2_ref[:], precision)
+
+    # frame combine X_f[k] = Z_{f-1}[k] + (-1)^k Z_f[k] with (-1)^k = (-1)^br;
+    # interior frames 1..NC-1 as one slab, frames 0 and NC as a 2-row slab
+    inner, edge = [], []
+    for br, (zre, zim) in enumerate(spectra):
+        s = 1.0 if br % 2 == 0 else -1.0
+        inner.append((zre[:-1] + s * zre[1:], zim[:-1] + s * zim[1:]))
+        edge.append((
+            jnp.concatenate([s * zre[:1], zre[-1:]], axis=0),
+            jnp.concatenate([s * zim[:1], zim[-1:]], axis=0),
+        ))
+
+    n_bins_total = 257.0  # n_fft/2 + 1 one-sided bins
+    frame_ms = _ct_slab_sum(inner, eps) / n_bins_total  # (NC-1, 1)
+    edge_ms = _ct_slab_sum(edge, eps) / n_bins_total  # (2, 1)
+    total = jnp.sum(jnp.sqrt(frame_ms)) + jnp.sum(jnp.sqrt(edge_ms))
+
+    @pl.when(b == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+    out_ref[:] = out_ref[:] + jnp.where(rows == b, total, 0.0)
+
+
+def _lsd_wholesig_ct(clean, denoised, scale, hop, eps, precision, interpret):
+    """Factorized-DFT whole-signal path (same contract as
+    ``_lsd_wholesig_raw``: T % hop == 0, 8-aligned chunk count)."""
+    batch, t = clean.shape
+    nc = t // hop
+    assert hop == 256, "factorized chunk DFT is built for n_fft=512/hop=256"
+
+    c = clean.astype(jnp.float32).reshape(batch, nc, hop)
+    d = denoised.astype(jnp.float32).reshape(batch, nc, hop)
+    tw_np, w2_np = _ct_constants()
+    tw = jnp.asarray(tw_np)
+    w2 = jnp.asarray(w2_np)
+    in_kernel = isinstance(scale, str) and scale == "auto"
+    if in_kernel:
+        scale = jnp.zeros((1, 1), jnp.float32)
+    else:
+        scale = scale.astype(jnp.float32).reshape(batch, 1)
+
+    sig_spec = pl.BlockSpec(
+        (1, nc, hop), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    sums = pl.pallas_call(
+        functools.partial(
+            _lsd_wholesig_ct_kernel, eps=eps, precision=precision,
+            in_kernel_scale=in_kernel,
+        ),
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            sig_spec,
+            sig_spec,
+            pl.BlockSpec(tw.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w2.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (batch, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((batch, 128), jnp.float32),
+        interpret=interpret,
+    )(scale, c, d, tw, w2)
+    return sums[:, 0] / (nc + 1)
+
+
 def _lsd_framed_kernel(
     c1_ref,  # (1, FB, hop) clean chunks of block j
     c2_ref,  # (1, FB, hop) clean chunks of block j+1 (boundary row)

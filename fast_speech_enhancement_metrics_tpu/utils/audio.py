@@ -110,7 +110,7 @@ def load_audio_data(
     if source == "hf":
         try:
             speech = load_hf_speech(num_samples, sample_duration, sample_rate)
-            noise = synth_noise(num_samples, sample_duration, sample_rate, seed=seed + 1)
+            noise = load_hf_noise(num_samples, sample_duration, sample_rate)
             return combine_speech_noise(speech, noise, snr_high, snr_low, seed=seed + 2)
         except Exception as e:  # no network / no datasets package
             import warnings
@@ -124,6 +124,40 @@ def load_audio_data(
     speech = synth_speech(num_samples, sample_duration, sample_rate, seed=seed)
     noise = synth_noise(num_samples, sample_duration, sample_rate, seed=seed + 1)
     return combine_speech_noise(speech, noise, snr_high, snr_low, seed=seed + 2)
+
+
+def load_hf_noise(
+    num_samples: int, duration_s: float, sample_rate: int = 16000
+) -> np.ndarray:
+    """Stream the reference's noise set (nccratliri wing-flap noise —
+    benchmarking/dataloading.py:11-34): resample, concatenate clips until
+    ``num_samples * duration_s`` seconds are on hand, tile if the whole set
+    is shorter, and reshape to (num_samples, T) — the reference's exact
+    concat-then-chop semantics."""
+    from datasets import load_dataset  # optional dependency
+
+    from fast_speech_enhancement_metrics_tpu.ops.resample import resample
+
+    target_len = int(duration_s * sample_rate)
+    total = num_samples * target_len
+    stream = load_dataset(
+        "nccratliri/wing-flap-noise-audio-examples", split="train",
+        streaming=True,
+    )
+    parts, have = [], 0
+    for item in stream:
+        audio = np.asarray(item["audio"]["array"], dtype=np.float32)
+        orig_sr = int(item["audio"]["sampling_rate"])
+        if orig_sr != sample_rate:
+            audio = np.asarray(resample(audio[None], orig_sr, sample_rate))[0]
+        parts.append(audio)
+        have += len(audio)
+        if have >= total:
+            break
+    noises = np.concatenate(parts) if parts else np.zeros(1, np.float32)
+    if len(noises) < total:
+        noises = np.tile(noises, total // len(noises) + 1)
+    return noises[:total].reshape(num_samples, target_len)
 
 
 def load_hf_speech(

@@ -10,6 +10,7 @@ all-gathered scores must equal a single-process run.
 """
 
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -67,11 +68,24 @@ def test_two_process_data_parallel_lsd(tmp_path):
     }
 
     # the free-port probe is inherently racy (the socket closes before the
-    # coordinator binds it) — retry once on a fresh port before failing
+    # coordinator binds it) — retry once on a fresh port, but ONLY when the
+    # failure is actually a coordinator bind/connect error: an unconditional
+    # retry would give unrelated distributed-path regressions a silent
+    # second chance
+    port_race = re.compile(
+        r"(address already in use|failed to connect|connection refused|"
+        r"bind|deadline exceeded|unavailable)",
+        re.IGNORECASE,
+    )
     for attempt in range(2):
         procs, outputs = _launch(_free_port(), out, env_base, worker)
         if all(p.returncode == 0 for p in procs) or attempt == 1:
             break
+        if not any(
+            p.returncode != 0 and port_race.search(o)
+            for p, o in zip(procs, outputs)
+        ):
+            break  # a real failure, not a port race — surface it now
 
     for pid, (p, stdout) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{stdout[-3000:]}"

@@ -50,6 +50,35 @@ def test_dnsmos_replicated_consistency(speech_data, mesh):
             assert a[key] == pytest.approx(b[key], abs=5e-5), key
 
 
+@pytest.mark.parametrize("batch", [1, 3])
+def test_data_parallel_indivisible_batch(speech_data, mesh, batch):
+    """Batches that don't divide the data axis shard via pad-and-mask
+    (base.py::prepare_audio pads with replicas of the last row; ``compute``
+    drops the pad scores host-side) — any batch size on any mesh."""
+    c = speech_data["speech"][:batch]
+    d = speech_data["noisy_speech"][:batch]
+    single = LSD()(c, d)
+    sharded = LSD(mesh=mesh)(c, d)
+    assert len(sharded) == batch
+    for a, b in zip(single, sharded):
+        assert a["LSD"] == pytest.approx(b["LSD"], abs=5e-5)
+
+
+def test_ragged_batch_on_mesh(speech_data, mesh):
+    """Ragged inputs route through exact-length groups of arbitrary size;
+    each group must shard regardless of the data-axis divisibility."""
+    c = [np.asarray(r) for r in speech_data["speech"]]
+    d = [np.asarray(r) for r in speech_data["noisy_speech"]]
+    # lengths: 3 utterances at T-160, 1 at full T -> groups of size 3 and 1
+    c = [r[:-160] for r in c[:3]] + [c[3]]
+    d = [r[:-160] for r in d[:3]] + [d[3]]
+    single = LSD()(c, d)
+    sharded = LSD(mesh=mesh)(c, d)
+    assert len(sharded) == 4
+    for a, b in zip(single, sharded):
+        assert a["LSD"] == pytest.approx(b["LSD"], abs=5e-5)
+
+
 def test_hubert_tensor_parallel_consistency(speech_data, mesh):
     """2-way Megatron TP of the encoder must not change the embeddings."""
     import torch
