@@ -286,16 +286,31 @@ def _encoder_layer(
         h = jax.nn.gelu(_matmul(h, p["ff_w1"], precision) + p["ff_b1"], approximate=approx)
         return x + (_matmul(h, p["ff_w2"], precision) + p["ff_b2"])
     # post-LN (HuBERT-base / mHuBERT-147)
-    x = _layer_norm(
-        x
-        + _attention(
-            p, x, config.num_attention_heads, precision, attention_impl,
-            softmax, fused_qkv,
-        ),
-        p["ln1_s"],
-        p["ln1_b"],
-        eps,
-    )
+    if attention_impl == "block":
+        # whole attention block (QKV -> softmax -> AV -> o-proj -> residual
+        # -> LN) as ONE Pallas kernel: HBM sees x once in / once out instead
+        # of the qkv / (H,T,T) probability / context round-trips
+        # (ops/attn_block_pallas.py). Default-precision class only.
+        from fast_speech_enhancement_metrics_tpu.ops.attn_block_pallas import (
+            attn_block,
+        )
+
+        x = attn_block(
+            p, x, config.num_attention_heads, eps,
+            softmax="exp2" if softmax == "exp2" else "exact",
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        x = _layer_norm(
+            x
+            + _attention(
+                p, x, config.num_attention_heads, precision, attention_impl,
+                softmax, fused_qkv,
+            ),
+            p["ln1_s"],
+            p["ln1_b"],
+            eps,
+        )
     h = jax.nn.gelu(_matmul(x, p["ff_w1"], precision) + p["ff_b1"], approximate=approx)
     return _layer_norm(
         x + (_matmul(h, p["ff_w2"], precision) + p["ff_b2"]), p["ln2_s"], p["ln2_b"], eps

@@ -1,0 +1,171 @@
+"""Fused post-LN attention block as a single Pallas TPU kernel.
+
+One encoder layer's whole attention block — QKV projections, per-head
+exp2 (max-free) softmax attention, output projection, residual add and the
+post-attention LayerNorm — executes per batch row entirely in VMEM:
+
+    y = LN(x + W_o · attn(x · W_qkv) + b_o)
+
+The XLA einsum path (models/hubert.py::_attention) round-trips the
+(T, 3d) qkv tensor, the (H, T, T) probability tensor and the (T, d)
+context through HBM every layer (~3.5 GB/layer at the bench shape of
+batch 64 x 799 frames); round-4 profiling concluded the encoder is bound
+by that bf16 activation stream, not by MXU arithmetic
+(results/PROFILING.md). This kernel keeps the whole block's intermediates
+in VMEM: HBM sees x once in and y once out (bf16).
+
+Numerics match the einsum path's default-precision class: bf16 MXU
+operands, fp32 softmax normalization in-register, exp2 max-free softmax
+with the ±60 overflow clamp (see ops/sdpa_pallas.py), LayerNorm statistics
+in fp32. Reference behavior anchor: fast_se_metrics/SpeechBERTScore.py:46-51
+(the torch encoder under fp16 autocast).
+
+Head-pair structure: heads are processed two at a time so the per-pair QKV
+weight slice starts at a 384-lane (3x128, register-aligned) boundary; the
+(T, T) fp32 logits of only one head are ever live.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LOG2E = 1.4426950408889634
+
+
+def _attn_block_kernel(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref, lnb_ref, out_ref,
+    *, num_heads: int, t_real: int, eps: float, softmax: str,
+):
+    t, d = x_ref.shape[1], x_ref.shape[2]
+    head_dim = d // num_heads
+    x = x_ref[0]  # (T, d) bf16
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+
+    ctx_parts = []
+    for pair in range(num_heads // 2):
+        lo = pair * 3 * head_dim * 2
+        span = 3 * head_dim * 2
+        # one (T, 384) projection per head pair; the weight slice is
+        # 384-lane aligned by construction (see pack_attn_block_params)
+        qkv = jax.lax.dot_general(
+            x, wqkv_ref[:, lo : lo + span],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ) + bqkv_ref[0, lo : lo + span]
+        qkv = qkv.astype(jnp.bfloat16)
+        for sub in range(2):
+            o = sub * 3 * head_dim
+            q = qkv[:, o : o + head_dim]
+            k = qkv[:, o + head_dim : o + 2 * head_dim]
+            v = qkv[:, o + 2 * head_dim : o + 3 * head_dim]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (T, T) fp32, never leaves VMEM
+            if t_real < t:
+                s = jnp.where(col < t_real, s, -jnp.inf)
+            if softmax == "exp2":
+                # q pre-scaled by scaling*log2(e); ±60 clamp bounds the
+                # row sum far from fp32 inf (see ops/sdpa_pallas.py)
+                p = jnp.exp2(jnp.clip(s, -100.0, 60.0))
+            else:
+                m = jnp.max(s, axis=1, keepdims=True)
+                p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            ctx = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ctx_parts.append((ctx / l).astype(jnp.bfloat16))
+
+    ctx_all = jnp.concatenate(ctx_parts, axis=1)  # (T, d) bf16
+    out = jax.lax.dot_general(
+        ctx_all, wo_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bo_ref[0]
+    r = out + x.astype(jnp.float32)
+    mean = jnp.mean(r, axis=1, keepdims=True)
+    cen = r - mean
+    var = jnp.mean(cen * cen, axis=1, keepdims=True)
+    y = cen * jax.lax.rsqrt(var + eps) * lns_ref[0] + lnb_ref[0]
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def pack_attn_block_params(p, num_heads: int, softmax: str):
+    """Layer param dict -> packed operands for the fused block kernel.
+
+    QKV weights interleave per head pair — [q_h0|k_h0|v_h0|q_h1|k_h1|v_h1|
+    q_h2|...] — so each pair's slice starts at a 384-lane boundary. The
+    attention scale (and log2(e) for the exp2 softmax) folds into the
+    q columns and biases at trace time.
+    """
+    d = p["q_w"].shape[0]
+    head_dim = d // num_heads
+    scaling = head_dim**-0.5
+    if softmax == "exp2":
+        scaling = scaling * LOG2E
+    ws, bs = [], []
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        ws += [p["q_w"][:, sl] * scaling, p["k_w"][:, sl], p["v_w"][:, sl]]
+        bs += [p["q_b"][sl] * scaling, p["k_b"][sl], p["v_b"][sl]]
+    wqkv = jnp.concatenate([w.astype(jnp.bfloat16) for w in ws], axis=1)
+    bqkv = jnp.concatenate(bs).astype(jnp.float32).reshape(1, -1)
+    return (
+        wqkv,
+        bqkv,
+        p["o_w"].astype(jnp.bfloat16),
+        p["o_b"].astype(jnp.float32).reshape(1, -1),
+        p["ln1_s"].astype(jnp.float32).reshape(1, -1),
+        p["ln1_b"].astype(jnp.float32).reshape(1, -1),
+    )
+
+
+def attn_block(
+    p,
+    x: jnp.ndarray,
+    num_heads: int,
+    eps: float,
+    softmax: str = "exp2",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """y = LN(x + attention(x)) over (B, T, d), post-LN layers only.
+
+    Returns x's dtype. T pads to the sublane quantum internally; padded key
+    columns are masked out of the softmax, padded rows sliced off.
+    """
+    b, t, d = x.shape
+    assert num_heads % 2 == 0 and d % num_heads == 0
+    pad = (-t) % 8
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    wqkv, bqkv, wo, bo, lns, lnb = pack_attn_block_params(p, num_heads, softmax)
+
+    xb = x.astype(jnp.bfloat16)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_block_kernel,
+            num_heads=num_heads, t_real=t, eps=eps, softmax=softmax,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t + pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            rep(wqkv.shape),
+            rep(bqkv.shape),
+            rep(wo.shape),
+            rep(bo.shape),
+            rep(lns.shape),
+            rep(lnb.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t + pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t + pad, d), x.dtype),
+        interpret=interpret,
+    )(xb, wqkv, bqkv, wo, bo, lns, lnb)
+    return out[:, :t] if pad else out

@@ -40,6 +40,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -206,7 +207,7 @@ def _lsd_wholesig(clean, denoised, n_fft, hop, eps, precision, interpret):
 
 def _lsd_wholesig_raw_kernel(
     scale_ref, c_ref, d_ref, w_ref, out_ref, *, eps, precision,
-    in_kernel_scale=False,
+    in_kernel_scale=False, rows=1,
 ):
     """Whole-signal kernel over RAW hop-aligned chunk rows (no padded copy).
 
@@ -229,23 +230,41 @@ def _lsd_wholesig_raw_kernel(
     re-reads both full (B, T) signals just for two reductions (~0.25
     ms/eval at batch 64; round-4 floor decomposition put the whole kernel
     at 1.21 ms, tools/prof_lsd_floor.py).
+
+    ``rows``: signal pairs per grid step. The DFT stage is NOT MAC-bound
+    (round-5 measurement: a Cooley-Tukey factorization with HALF the MACs
+    ran 1.9x SLOWER, tools/prof_lsd_ct.py) — it is bound by per-step
+    dispatch and VMEM-traffic overheads, so batching R pairs into one
+    (R*NC, hop) matmul amortizes them. Needs the raised VMEM cap.
     """
     b = pl.program_id(0)
-    if in_kernel_scale:
-        cc0, dd0 = c_ref[0], d_ref[0]
-        num = jnp.sum(cc0 * dd0)
-        den = jnp.sum(dd0 * dd0)
-        _scale = (num / (den + eps)).reshape(1, 1)
+    # per-row 2D slices + sublane concat (a (R, NC, hop) -> (R*NC, hop)
+    # reshape trips a Mosaic layout-inference crash)
+    c_rows = [c_ref[r] for r in range(rows)]
+    d_rows = [d_ref[r] for r in range(rows)]
+    scales = []
+    for r in range(rows):
+        if in_kernel_scale:
+            num = jnp.sum(c_rows[r] * d_rows[r])
+            den = jnp.sum(d_rows[r] * d_rows[r])
+            scales.append(num / (den + eps))
+        else:
+            scales.append(scale_ref[b * rows + r, 0])
+    chunks_c = c_rows[0] if rows == 1 else jnp.concatenate(c_rows, axis=0)
+    d_scaled = [d_rows[r] * scales[r] for r in range(rows)]
+    chunks_d = d_scaled[0] if rows == 1 else jnp.concatenate(d_scaled, axis=0)
 
-    def mags(ref, scale):
-        chunks = ref[0]  # (NC, hop) raw rows, NC = T/hop
-        if scale is not None:
-            chunks = chunks * scale
-        a = _dot_f32(chunks, w_ref[:], precision)  # (NC, 2nb)
-        nb = a.shape[-1] // 2
-        sign = _sign_lane(nb)
+    ac = _dot_f32(chunks_c, w_ref[:], precision)  # (rows*NC, 2nb)
+    ad = _dot_f32(chunks_d, w_ref[:], precision)
+    qc_all = _chunk_nyquist(chunks_c)
+    qd_all = _chunk_nyquist(chunks_d)
+
+    nc = c_ref.shape[1]
+    nb = ac.shape[-1] // 2
+    sign = _sign_lane(nb)
+
+    def mags(a, q):
         are, aim = a[:, :nb], a[:, nb:]
-        q = _chunk_nyquist(chunks)  # (NC, 1)
         # interior frames 1..NC-1
         m_int, m_edge = _hann_mag_sq(
             are[:-1] + sign * are[1:],
@@ -260,36 +279,43 @@ def _lsd_wholesig_raw_kernel(
         )
         return (m_int, m_edge), (e_int, e_edge)
 
-    (ci, ce), (cei, cee) = mags(c_ref, None)
-    (di, de), (dei, dee) = mags(
-        d_ref, _scale if in_kernel_scale else scale_ref[b, 0]
-    )
-    n_bins_total = ci.shape[1] + 3  # n_fft/2 + 1 one-sided bins
-    # keepdims: a 1D intermediate trips a Mosaic relayout bug at this length
-    frame_ms = (
-        jnp.sum(_sq_log_ratio(ci, di, eps), axis=1, keepdims=True)
-        + jnp.sum(_sq_log_ratio(ce, de, eps), axis=1, keepdims=True)
-    ) / n_bins_total  # (NC-1, 1)
-    edge_ms = (
-        jnp.sum(_sq_log_ratio(cei, dei, eps), axis=1, keepdims=True)
-        + jnp.sum(_sq_log_ratio(cee, dee, eps), axis=1, keepdims=True)
-    ) / n_bins_total  # (2, 1)
-    total = jnp.sum(jnp.sqrt(frame_ms)) + jnp.sum(jnp.sqrt(edge_ms))
-
     @pl.when(b == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
-    out_ref[:] = out_ref[:] + jnp.where(rows == b, total, 0.0)
+    n_bins_total = nb + 1  # n_fft/2 + 1 one-sided bins (nb-2 interior + 3 edge)
+    acc = jnp.zeros_like(out_ref)
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
+    for r in range(rows):
+        sl = slice(r * nc, (r + 1) * nc)
+        (ci, ce), (cei, cee) = mags(ac[sl], qc_all[sl])
+        (di, de), (dei, dee) = mags(ad[sl], qd_all[sl])
+        # keepdims: 1D intermediates trip a Mosaic relayout bug at this size
+        frame_ms = (
+            jnp.sum(_sq_log_ratio(ci, di, eps), axis=1, keepdims=True)
+            + jnp.sum(_sq_log_ratio(ce, de, eps), axis=1, keepdims=True)
+        ) / n_bins_total  # (NC-1, 1)
+        edge_ms = (
+            jnp.sum(_sq_log_ratio(cei, dei, eps), axis=1, keepdims=True)
+            + jnp.sum(_sq_log_ratio(cee, dee, eps), axis=1, keepdims=True)
+        ) / n_bins_total  # (2, 1)
+        total = jnp.sum(jnp.sqrt(frame_ms)) + jnp.sum(jnp.sqrt(edge_ms))
+        acc = acc + jnp.where(out_rows == b * rows + r, total, 0.0)
+    out_ref[:] = out_ref[:] + acc
 
 
-def _lsd_wholesig_raw(clean, denoised, scale, hop, eps, precision, interpret):
+def _lsd_wholesig_raw(
+    clean, denoised, scale, hop, eps, precision, interpret, rows_per_step=1,
+):
     """Zero-copy whole-signal path: requires T % hop == 0 and an 8-aligned
     chunk count (both hold for the benchmark's even-second 16 kHz clips).
-    ``scale="auto"`` computes the projection scale in-kernel."""
+    ``scale="auto"`` computes the projection scale in-kernel.
+    ``rows_per_step``: signal pairs batched into each grid step's DFT
+    matmul (must divide the batch)."""
     batch, t = clean.shape
     nc = t // hop
+    rows = rows_per_step
+    assert batch % rows == 0
 
     c = clean.astype(jnp.float32).reshape(batch, nc, hop)
     d = denoised.astype(jnp.float32).reshape(batch, nc, hop)
@@ -301,14 +327,14 @@ def _lsd_wholesig_raw(clean, denoised, scale, hop, eps, precision, interpret):
         scale = scale.astype(jnp.float32).reshape(batch, 1)
 
     sig_spec = pl.BlockSpec(
-        (1, nc, hop), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        (rows, nc, hop), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )
     sums = pl.pallas_call(
         functools.partial(
             _lsd_wholesig_raw_kernel, eps=eps, precision=precision,
-            in_kernel_scale=in_kernel,
+            in_kernel_scale=in_kernel, rows=rows,
         ),
-        grid=(batch,),
+        grid=(batch // rows,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             sig_spec,
@@ -319,6 +345,9 @@ def _lsd_wholesig_raw(clean, denoised, scale, hop, eps, precision, interpret):
             (batch, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((batch, 128), jnp.float32),
+        # rows_per_step > 1 exceeds the compiler's 16 MB scoped-VMEM default
+        # (~8 MB of chunk spectra per pair); physical VMEM is far larger
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(scale, c, d, w)
     return sums[:, 0] / (nc + 1)
@@ -326,20 +355,24 @@ def _lsd_wholesig_raw(clean, denoised, scale, hop, eps, precision, interpret):
 
 @functools.lru_cache(maxsize=None)
 def _ct_constants():
-    """Twiddles + 64-point complex-DFT matrix for the factorized chunk DFT.
+    """Constants for the factorized (radix-2 DIF) one-sided real chunk DFT.
 
-    The 512-point DFT of the zero-padded hop-chunk factorizes as three
-    radix-2 decimation-in-frequency folds (pure VPU adds + twiddle
-    multiplies; level 1 absorbs the zero padding for free) followed by
-    eight 64-point complex DFTs — the only MXU stage, at HALF the MACs of
-    the dense (256, 512) chunk-DFT matmul: 8 x 128 x 128 = 131 k vs
-    2 x 256 x 512 = 262 k per clean/denoised chunk pair (the pair rides as
-    one complex signal z = c + i*scale*d, unpacked by Hermitian symmetry
-    in the epilogue). Validated against np.fft in tools/proto_lsd_ct.py.
+    The 512-point DFT of the zero-padded hop-chunk factorizes as three DIF
+    folds (VPU adds + twiddle multiplies; level 1 absorbs the zero padding
+    for free) followed by eight 64-point DFTs indexed br = j1+2j2+4j3 with
+    DFT512(x)[8m + br] = DFT64(b_br)[m]. For REAL chunks only the one-sided
+    bins k = 0..255 (m = 0..31 per branch) + the Nyquist bin (alternating
+    chunk sum, VPU) are needed, and branch 0 (the all-even fold path) stays
+    real — so the MXU stage is seven (NC, 128)@(128, 64) complex-branch
+    matmuls + one (NC, 64)@(64, 64) real matmul per signal: 61.4k MACs vs
+    the dense chunk-DFT's 131k. All seven complex branches share ONE
+    matrix, so they run as a single stacked (7*NC, 128) matmul.
+    Validated against np.fft in tools/proto_lsd_ct.py (test_lsd_real).
 
-    Returns (tw, w2): ``tw`` (8, 256) packs the three twiddle vectors
-    [w1re, w1im, w2re|0, w2im|0, w3re|0, w3im|0, 0, 0]; ``w2`` (128, 128)
-    maps a packed [re(64) | im(64)] branch to its packed 64-bin spectrum.
+    Returns (tw, w0, wc): ``tw`` (8, 256) packs the twiddles
+    [w1re, w1im, w2re|0, w2im|0, w3re|0, w3im|0, 0, 0]; ``w0`` (64, 64)
+    maps a real branch to packed [Re(32) | Im(32)]; ``wc`` (128, 64) maps a
+    packed [re(64) | im(64)] complex branch likewise.
     """
     tw = np.zeros((8, 256), dtype=np.float64)
     t1 = np.arange(256)
@@ -351,122 +384,172 @@ def _ct_constants():
     t3 = np.arange(64)
     tw[4, :64] = np.cos(-2 * np.pi * t3 / 128)
     tw[5, :64] = np.sin(-2 * np.pi * t3 / 128)
-    ang = -2 * np.pi * np.outer(np.arange(64), np.arange(64)) / 64
+    ang = -2 * np.pi * np.outer(np.arange(64), np.arange(32)) / 64
     c, s = np.cos(ang), np.sin(ang)
-    w2 = np.block([[c, -s], [s, c]])  # [re|im] @ w2 -> [Re Z | Im Z]
-    return tw.astype(np.float32), w2.astype(np.float32)
+    w0 = np.concatenate([c, s], axis=1)  # real in: Re = b@c, Im = b@s
+    # complex in: Re = re@c - im@s, Im = re@s + im@c
+    wc = np.block([[c, s], [-s, c]])
+    return tw.astype(np.float32), w0.astype(np.float32), wc.astype(np.float32)
 
 
-def _ct_branch_spectra(zre, zim, tw, w2, precision):
-    """(NC, 256) complex chunk slab -> 8 branch spectra, each ((NC, 64) re,
-    (NC, 64) im), bin k = 8m + br. Three DIF folds + one matmul per branch."""
+def _ct_branch_spectra(x, tw, w0, wc, precision):
+    """(NC, 256) real chunk slab -> (list of 8 (NC, 64) packed one-sided
+    branch spectra [Re(32)|Im(32)], (NC, 1) Nyquist column).
+
+    Three DIF folds on the VPU (branch 0's path stays real), then one
+    stacked matmul for the seven complex branches + one small real matmul.
+    """
     w1re, w1im = tw[0:1, :], tw[1:2, :]
     w2re, w2im = tw[2:3, :128], tw[3:4, :128]
     w3re, w3im = tw[4:5, :64], tw[5:6, :64]
 
-    def cmul(are, aim, bre, bim):
-        return are * bre - aim * bim, are * bim + aim * bre
+    # L1: b0 = x (real, no-op); b1 = x * w1 (real * complex)
+    b1re, b1im = x * w1re, x * w1im
 
-    def fold(vre, vim, wre, wim):
-        h = vre.shape[1] // 2
-        are, aim = vre[:, :h], vim[:, :h]
-        bre, bim = vre[:, h:], vim[:, h:]
-        ere, eim = are + bre, aim + bim
-        ore, oim = cmul(are - bre, aim - bim, wre, wim)
-        return (ere, eim), (ore, oim)
+    # L2 on real b0: even stays real, odd twiddles to complex
+    a, bb = x[:, :128], x[:, 128:]
+    e00 = a + bb
+    d0 = a - bb
+    o01 = (d0 * w2re, d0 * w2im)
+    # L2 on complex b1
+    are, aim = b1re[:, :128], b1im[:, :128]
+    bre, bim = b1re[:, 128:], b1im[:, 128:]
+    e10 = (are + bre, aim + bim)
+    dre, dim = are - bre, aim - bim
+    o11 = (dre * w2re - dim * w2im, dre * w2im + dim * w2re)
 
-    l1 = [(zre, zim), cmul(zre, zim, w1re, w1im)]  # j1 = 0, 1
-    out = [None] * 8
-    for j1, v in enumerate(l1):
-        e2, o2 = fold(*v, w2re, w2im)
-        for j2, u in enumerate((e2, o2)):
-            e3, o3 = fold(*u, w3re, w3im)
-            for j3, w in enumerate((e3, o3)):
-                out[j1 + 2 * j2 + 4 * j3] = w
+    # L3: real e00 -> br0 (real), br4 (complex via w3 twiddle)
+    a, bb = e00[:, :64], e00[:, 64:]
+    br0 = a + bb
+    d0 = a - bb
+    br4 = (d0 * w3re, d0 * w3im)
 
-    spectra = []
-    for bre, bim in out:
-        y = _dot_f32(jnp.concatenate([bre, bim], axis=1), w2, precision)
-        spectra.append((y[:, :64], y[:, 64:]))
-    return spectra
-
-
-def _ct_slab_sum(x, eps):
-    """Per-frame sum of squared log-ratios over the 257 one-sided bins, from
-    8 branch frame-spectra ``x[br] = (Xre (F, 64), Xim (F, 64))`` in the
-    scrambled bin layout k = 8m + br of the packed z = c + i*d transform.
-
-    Cyclic frequency-domain Hann (branch-neighbor taps with lane-roll
-    carries), then Hermitian unpack |C|^2 = |Y + conj(M)|^2 / 4,
-    |D|^2 = |Y - conj(M)|^2 / 4 with the mirror M[k] = Y[(512-k) mod 512].
-    Mirror symmetry halves the work: |C|,|D| at branch 8-br are a lane
-    permutation of branch br, so only branches {0, 1, 2, 3, 4} get the
-    magnitude/log epilogue; pairs (1,7), (2,6), (3,5) count twice and the
-    self-paired 0, 4 once, giving the full-k sum; the one-sided sum is
-    (full + bin0 + bin256) / 2. Derivation tested in tools/proto_lsd_ct.py.
-    """
-    def hann(b):
-        # Y[k] = 0.5 X[k] - 0.25 (X[k-1] + X[k+1]); k±1 = br±1 with m-carry
-        if b >= 1:
-            m1re, m1im = x[b - 1]
-        else:
-            m1re = pltpu.roll(x[7][0], 1, axis=1)
-            m1im = pltpu.roll(x[7][1], 1, axis=1)
-        if b <= 6:
-            p1re, p1im = x[b + 1]
-        else:
-            p1re = pltpu.roll(x[0][0], -1, axis=1)
-            p1im = pltpu.roll(x[0][1], -1, axis=1)
-        return (
-            0.5 * x[b][0] - 0.25 * (m1re + p1re),
-            0.5 * x[b][1] - 0.25 * (m1im + p1im),
+    def l3c(v):
+        vre, vim = v
+        are, aim = vre[:, :64], vim[:, :64]
+        bre, bim = vre[:, 64:], vim[:, 64:]
+        dre, dim = are - bre, aim - bim
+        return (are + bre, aim + bim), (
+            dre * w3re - dim * w3im, dre * w3im + dim * w3re
         )
 
-    y = [hann(b) for b in range(8)]
+    br1, br5 = l3c(e10)
+    br2, br6 = l3c(o01)
+    br3, br7 = l3c(o11)
 
-    def flip(a):
-        return a[:, ::-1]
+    # stage 2: stack the seven complex branches (same DFT-64 matrix) into
+    # ONE (7*NC, 128) matmul — per-dot overhead measured comparable to the
+    # matmul itself at these shapes (tools/prof_lsd_ct.py microbench).
+    # The hi/lo split runs BEFORE the stack and as three separate dots:
+    # the (7NC, 384) K-tripled bf16 concat of _dot_f32 blew the 16 MB
+    # scoped-VMEM budget (measured 21.2 MB compile error at NC=1000)
+    stacked = jnp.concatenate(
+        [jnp.concatenate([vre, vim], axis=1)
+         for (vre, vim) in (br1, br2, br3, br4, br5, br6, br7)],
+        axis=0,
+    )
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "default":
+        zs = jax.lax.dot_general(
+            stacked.astype(jnp.bfloat16), wc.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        xh = stacked.astype(jnp.bfloat16)
+        xl = (stacked - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        wh = wc.astype(jnp.bfloat16)
+        wl = (wc - wh.astype(jnp.float32)).astype(jnp.bfloat16)
+        zs = (
+            jax.lax.dot_general(xh, wh, dims, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(xh, wl, dims, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(xl, wh, dims, preferred_element_type=jnp.float32)
+        )
+    nc = x.shape[0]
+    spectra = [_dot_f32(br0, w0, precision)] + [
+        zs[i * nc : (i + 1) * nc] for i in range(7)
+    ]  # indexed by br = 0..7
+    return spectra, _chunk_nyquist(x)
 
-    def g(yb, m):
-        yre, yim = yb
-        mre, mim = m
-        cre, cim = 0.5 * (yre + mre), 0.5 * (yim - mim)
-        dre, dim = 0.5 * (yim + mim), 0.5 * (mre - yre)
-        return _sq_log_ratio(cre * cre + cim * cim, dre * dre + dim * dim, eps)
 
-    g0 = g(y[0], (pltpu.roll(flip(y[0][0]), 1, axis=1),
-                  pltpu.roll(flip(y[0][1]), 1, axis=1)))
-    g4 = g(y[4], (flip(y[4][0]), flip(y[4][1])))
-    paired = sum(
-        jnp.sum(g(y[b], (flip(y[8 - b][0]), flip(y[8 - b][1]))),
-                axis=1, keepdims=True)
-        for b in (1, 2, 3)
-    )
-    full = (
-        2.0 * paired
-        + jnp.sum(g0, axis=1, keepdims=True)
-        + jnp.sum(g4, axis=1, keepdims=True)
-    )
-    # bins k=0 (br 0, m 0) and k=256 (br 0, m 32) appear once in the full-k
-    # sum; one-sided needs them once more before halving
-    lanes = jax.lax.broadcasted_iota(jnp.int32, g0.shape, 1)
-    extra = jnp.sum(
-        jnp.where((lanes == 0) | (lanes == 32), g0, 0.0), axis=1, keepdims=True
-    )
-    return 0.5 * (full + extra)
+def _ct_hann_mags(x, q):
+    """8 packed branch frame-spectra slabs + Nyquist column (one signal) ->
+    (8 windowed |Y|^2 slabs (F, 32), |Y_nyq|^2 (F, 1)).
+
+    Cyclic frequency-domain Hann in the scrambled layout k = 8m + br:
+    X[k±1] sits in branch br±1 at the same lane, except the two carries —
+    (br 0, any m) reaches (br 7, m-1) [a packed roll; its only wrong lanes
+    are bin k=0's, overridden by the X[-1] = conj(X[1]) edge rule] and
+    (br 7, m 31) reaches the Nyquist bin. Derived + tested in
+    tools/proto_lsd_ct.py::lsd_ct_real.
+    """
+    lanes = jax.lax.broadcasted_iota(jnp.int32, x[0].shape, 1)
+    # conj in packed [re|im] layout: negate the im half
+    half_sign = jnp.where(lanes < 32, 1.0, -1.0)
+    msq = []
+    for b in range(8):
+        if b >= 1:
+            xm1 = x[b - 1]
+        else:
+            # (br0, m) - 1 = (br7, m-1): packed roll by 1; lanes 0 and
+            # 32 (bin k=0) instead take conj(X[1]) = X[-1]
+            r = pltpu.roll(x[7], 1, axis=1)
+            xm1 = jnp.where((lanes == 0) | (lanes == 32), half_sign * x[1], r)
+        if b <= 6:
+            xp1 = x[b + 1]
+        else:
+            # (br7, m) + 1 = (br0, m+1): packed roll by -1; lanes 31
+            # and 63 (bin k=255) instead take X[256] (real Nyquist)
+            r = pltpu.roll(x[0], 63, axis=1)
+            xp1 = jnp.where(lanes == 31, q, jnp.where(lanes == 63, 0.0, r))
+        y = 0.5 * x[b] - 0.25 * (xm1 + xp1)
+        msq.append(y[:, :32] ** 2 + y[:, 32:] ** 2)
+    ynyq = 0.5 * q - 0.5 * x[7][:, 31:32]  # bin 256: X[257] = conj X[255]
+    return msq, ynyq * ynyq
+
+
+def _ct_signal_mags(x, scale, tw, w0, wc, precision):
+    """(NC, 256) raw chunk slab -> windowed power spectra of all NC+1
+    centered frames, as (8 interior slabs (NC-1, 32), interior Nyquist,
+    8 edge slabs (2, 32), edge Nyquist). Runs the signal's whole pipeline
+    (folds, stage-2 matmuls, frame combine, Hann) so every intermediate is
+    dead before the second signal starts — the two-signal-interleaved
+    version measured 21.2 MB of scoped VMEM vs the 16 MB budget."""
+    if scale is not None:
+        x = x * scale
+    z, q = _ct_branch_spectra(x, tw, w0, wc, precision)
+    # frame combine X_f[k] = Z_{f-1}[k] + (-1)^k Z_f[k], (-1)^k = (-1)^br;
+    # interior frames 1..NC-1 as one slab, frames 0 and NC as a 2-row slab
+    inner, edge = [], []
+    for br, zb in enumerate(z):
+        s = 1.0 if br % 2 == 0 else -1.0
+        inner.append(zb[:-1] + s * zb[1:])
+        edge.append(jnp.concatenate([s * zb[:1], zb[-1:]], axis=0))
+    qi = q[:-1] + q[1:]  # (-1)^256 = +1
+    qe = jnp.concatenate([q[:1], q[-1:]], axis=0)
+    mi, mni = _ct_hann_mags(inner, qi)
+    me, mne = _ct_hann_mags(edge, qe)
+    return mi, mni, me, mne
+
+
+def _ct_ratio_rows(c_msq, cn, d_msq, dn, eps):
+    """Per-frame mean over the 257 one-sided bins of the squared log ratio."""
+    total = None
+    for b in range(8):
+        part = jnp.sum(
+            _sq_log_ratio(c_msq[b], d_msq[b], eps), axis=1, keepdims=True
+        )
+        total = part if total is None else total + part
+    total = total + _sq_log_ratio(cn, dn, eps)
+    return total / 257.0  # n_fft/2 + 1 one-sided bins
 
 
 def _lsd_wholesig_ct_kernel(
-    scale_ref, c_ref, d_ref, tw_ref, w2_ref, out_ref, *, eps, precision,
-    in_kernel_scale=False,
+    scale_ref, c_ref, d_ref, tw_ref, w0_ref, wc_ref, out_ref, *, eps,
+    precision, in_kernel_scale=False,
 ):
-    """Whole-signal raw-chunk kernel with the factorized (radix-2 DIF) chunk
-    DFT — same semantics as ``_lsd_wholesig_raw_kernel``, half the MXU MACs.
-
-    The clean/denoised pair rides as ONE complex signal z = c + i*scale*d
-    through the factorized 512-point transform; frame combine and the Hann
-    tap act on the packed spectra (both commute with the Hermitian unpack,
-    which happens inside the magnitude epilogue of ``_ct_slab_sum``).
+    """Whole-signal raw-chunk kernel with the factorized (radix-2 DIF)
+    one-sided real chunk DFT — same semantics as
+    ``_lsd_wholesig_raw_kernel`` at half the nominal DFT MACs.
     """
     b = pl.program_id(0)
     cc = c_ref[0]  # (NC, hop) raw rows
@@ -477,23 +560,12 @@ def _lsd_wholesig_ct_kernel(
         scale = num / (den + eps)
     else:
         scale = scale_ref[b, 0]
-    tw = tw_ref[:]
-    spectra = _ct_branch_spectra(cc, dd * scale, tw, w2_ref[:], precision)
+    tw, w0, wc = tw_ref[:], w0_ref[:], wc_ref[:]
+    ci, cni, ce, cne = _ct_signal_mags(cc, None, tw, w0, wc, precision)
+    di, dni, de, dne = _ct_signal_mags(dd, scale, tw, w0, wc, precision)
 
-    # frame combine X_f[k] = Z_{f-1}[k] + (-1)^k Z_f[k] with (-1)^k = (-1)^br;
-    # interior frames 1..NC-1 as one slab, frames 0 and NC as a 2-row slab
-    inner, edge = [], []
-    for br, (zre, zim) in enumerate(spectra):
-        s = 1.0 if br % 2 == 0 else -1.0
-        inner.append((zre[:-1] + s * zre[1:], zim[:-1] + s * zim[1:]))
-        edge.append((
-            jnp.concatenate([s * zre[:1], zre[-1:]], axis=0),
-            jnp.concatenate([s * zim[:1], zim[-1:]], axis=0),
-        ))
-
-    n_bins_total = 257.0  # n_fft/2 + 1 one-sided bins
-    frame_ms = _ct_slab_sum(inner, eps) / n_bins_total  # (NC-1, 1)
-    edge_ms = _ct_slab_sum(edge, eps) / n_bins_total  # (2, 1)
+    frame_ms = _ct_ratio_rows(ci, cni, di, dni, eps)  # (NC-1, 1)
+    edge_ms = _ct_ratio_rows(ce, cne, de, dne, eps)  # (2, 1)
     total = jnp.sum(jnp.sqrt(frame_ms)) + jnp.sum(jnp.sqrt(edge_ms))
 
     @pl.when(b == 0)
@@ -513,9 +585,10 @@ def _lsd_wholesig_ct(clean, denoised, scale, hop, eps, precision, interpret):
 
     c = clean.astype(jnp.float32).reshape(batch, nc, hop)
     d = denoised.astype(jnp.float32).reshape(batch, nc, hop)
-    tw_np, w2_np = _ct_constants()
+    tw_np, w0_np, wc_np = _ct_constants()
     tw = jnp.asarray(tw_np)
-    w2 = jnp.asarray(w2_np)
+    w0 = jnp.asarray(w0_np)
+    wc = jnp.asarray(wc_np)
     in_kernel = isinstance(scale, str) and scale == "auto"
     if in_kernel:
         scale = jnp.zeros((1, 1), jnp.float32)
@@ -536,14 +609,19 @@ def _lsd_wholesig_ct(clean, denoised, scale, hop, eps, precision, interpret):
             sig_spec,
             sig_spec,
             pl.BlockSpec(tw.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(w2.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(w0.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(wc.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (batch, 128), lambda b: (0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((batch, 128), jnp.float32),
+        # the fold tree + stacked stage-2 operands measure ~23 MB of scoped
+        # VMEM at the bench's NC=1000 — over the compiler's 16 MB default
+        # but a fraction of the chip's physical VMEM (v5e: 128 MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(scale, c, d, tw, w2)
+    )(scale, c, d, tw, w0, wc)
     return sums[:, 0] / (nc + 1)
 
 
@@ -653,6 +731,8 @@ def lsd_scores(
     precision: str = "high",
     interpret: bool = False,
     denoised_scale: jnp.ndarray | None = None,
+    dft_impl: str = "dense",
+    rows_per_step: int | str = "auto",
 ) -> jnp.ndarray:
     """Centered-STFT LSD of (B, T) pairs -> (B,) scores, fully fused.
 
@@ -670,8 +750,21 @@ def lsd_scores(
         auto = isinstance(denoised_scale, str) and denoised_scale == "auto"
         nc = t // hop
         if t % hop == 0 and nc % 8 == 0 and f + 1 <= MAX_WHOLESIG_CHUNKS:
+            if dft_impl == "ct" and n_fft == 512:
+                return _lsd_wholesig_ct(
+                    clean, denoised, denoised_scale, hop, eps, precision,
+                    interpret,
+                )
+            if rows_per_step == "auto":
+                # measured flat at r2 and ~9% SLOWER at r4/r8 on chip
+                # (tools/prof_lsd_ct.py round-5 sweep): per-step dispatch
+                # is NOT what the DFT stage is bound by — stay at 1
+                rows_per_step = 1
+            if clean.shape[0] % rows_per_step:
+                rows_per_step = 1
             return _lsd_wholesig_raw(
-                clean, denoised, denoised_scale, hop, eps, precision, interpret
+                clean, denoised, denoised_scale, hop, eps, precision,
+                interpret, rows_per_step=rows_per_step,
             )
         if auto:
             denoised_scale = jnp.sum(clean * denoised, axis=1) / (

@@ -107,3 +107,30 @@ def test_lsd_raw_zero_copy_matches_padded(speech_data):
         c2, d2 * scale[:, None], 512, 256, 1e-8, "high", True
     )
     np.testing.assert_allclose(np.asarray(fb), np.asarray(pad2), rtol=1e-6)
+
+
+def test_ct_and_rows_variants_match_dense(speech_data):
+    """Round-5 variants: the factorized (Cooley-Tukey) chunk DFT and the
+    rows_per_step batched grid must reproduce the dense kernel's scores
+    (both are measured performance negatives — tools/prof_lsd_ct.py — kept
+    as recorded A/Bs; this pins their correctness)."""
+    from fast_speech_enhancement_metrics_tpu.ops import lsd_fused
+
+    t = 248 * 256
+    c = jnp.asarray(speech_data["speech"][:4, :t], dtype=jnp.float32)
+    d = jnp.asarray(speech_data["noisy_speech"][:4, :t], dtype=jnp.float32)
+    dense = lsd_fused.lsd_scores(
+        c, d, 512, 256, 1e-8, interpret=True, denoised_scale="auto"
+    )
+    ct = lsd_fused.lsd_scores(
+        c, d, 512, 256, 1e-8, interpret=True, denoised_scale="auto",
+        dft_impl="ct",
+    )
+    # CT folds add fp32 twiddle rounding: ~3e-5 rel on speech fixtures
+    np.testing.assert_allclose(np.asarray(ct), np.asarray(dense), rtol=1e-4)
+    for rows in (2, 4):
+        rr = lsd_fused.lsd_scores(
+            c, d, 512, 256, 1e-8, interpret=True, denoised_scale="auto",
+            rows_per_step=rows,
+        )
+        np.testing.assert_allclose(np.asarray(rr), np.asarray(dense), atol=1e-6)

@@ -155,3 +155,79 @@ if __name__ == "__main__":
     test_fft_identity()
     test_lsd_pipeline()
     print("ALL OK")
+
+
+# ---- round-5b: separate-real variant (no Hermitian unpack, no flips) ----
+
+def fold_branches_real(x):
+    """Real (NC, 256) chunks -> 8 branches; br0 stays real, others complex.
+    One-sided trim: stage-2 only needs bins m = 0..31 per branch
+    (k = 8m + br <= 255) + the Nyquist bin via the alternating sum."""
+    return fold_branches(x.astype(complex))  # prototype: reuse complex folds
+
+
+def lsd_ct_real(c, d, scale, eps=1e-8):
+    nc = c.shape[0]
+
+    def spectra(x):
+        br = fold_branches_real(x)
+        Z = [dft64(b)[:, :32] for b in br]   # one-sided trim
+        nyq = (x * ((-1.0) ** np.arange(256))).sum(axis=1)  # X[256] chunk part
+        return Z, nyq
+
+    Zc, qc = spectra(c)
+    Zd, qd = spectra(d * scale)
+
+    def frames(Z, q):
+        X = []
+        for b in range(8):
+            s = 1.0 if b % 2 == 0 else -1.0
+            zb = Z[b]
+            X.append(np.concatenate(
+                [s * zb[:1], zb[:-1] + s * zb[1:], zb[-1:]], axis=0))
+        xn = np.concatenate([q[:1], q[:-1] + q[1:], q[-1:]], axis=0)
+        return X, xn
+
+    def hann(X, xn):
+        lane = np.arange(32)
+        Y = []
+        for b in range(8):
+            if b >= 1:
+                xm1 = X[b - 1]
+            else:
+                r = np.roll(X[7], 1, axis=1)
+                xm1 = np.where(lane == 0, np.conj(X[1]), r)  # X[-1]=conj X[1]
+            if b <= 6:
+                xp1 = X[b + 1]
+            else:
+                r = np.roll(X[0], -1, axis=1)
+                xp1 = np.where(lane == 31, xn[:, None], r)   # X[256] real
+            Y.append(0.5 * X[b] - 0.25 * (xm1 + xp1))
+        ynyq = 0.5 * xn - 0.5 * X[7][:, 31].real             # bin 256
+        return Y, ynyq
+
+    Xc, xnc = frames(Zc, qc)
+    Xd, xnd = frames(Zd, qd)
+    Yc, ycn = hann(Xc, xnc)
+    Yd, ydn = hann(Xd, xnd)
+
+    num = np.zeros(nc + 1)
+    for b in range(8):
+        csq = np.abs(Yc[b]) ** 2
+        dmag = np.abs(Yd[b]) + eps
+        num += (np.log(csq / dmag**2 + eps) ** 2).sum(axis=1)
+    dmag = np.abs(ydn) + eps
+    num += np.log(ycn**2 / dmag**2 + eps) ** 2
+    return np.sqrt(num / (NFFT // 2 + 1)).mean()
+
+
+def test_lsd_real():
+    rng = np.random.RandomState(2)
+    nc = 24
+    c = rng.randn(nc, 256)
+    d = 0.8 * c.copy() + 0.3 * rng.randn(nc, 256)
+    scale = float((c.ravel() @ d.ravel()) / (d.ravel() @ d.ravel() + 1e-8))
+    got = lsd_ct_real(c, d, scale)
+    want = oracle_lsd(c, d, scale)
+    print("lsd ct-real:", got, "oracle:", want, "diff:", abs(got - want))
+    assert abs(got - want) < 1e-9
