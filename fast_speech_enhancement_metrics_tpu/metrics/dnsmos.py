@@ -87,8 +87,15 @@ class DNSMOS(BaseMetric):
             )
 
             conv_pack = MXU_CONV_PACK
+        elif conv_pack == "winograd":
+            # F(2x2, 3x3) on convs 1-6 (2.25x fewer matmul MACs; conv0's
+            # C_in = 1 makes its per-position matmul degenerate, keep direct)
+            conv_pack = (1, "w", "w", "w", "w", "w", "w")
         elif isinstance(conv_pack, str):
-            raise ValueError(f"unknown conv_pack: {conv_pack!r} (use 'mxu', a per-layer tuple, or None)")
+            raise ValueError(
+                f"unknown conv_pack: {conv_pack!r} "
+                "(use 'mxu', 'winograd', a per-layer tuple, or None)"
+            )
         self.conv_pack = conv_pack
         #: like segment_chunk, but the chunk loop runs in Python over ONE
         #: jitted per-chunk net graph instead of a lax.map inside the metric

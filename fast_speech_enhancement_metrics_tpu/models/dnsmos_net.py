@@ -122,11 +122,83 @@ def _packed_weights(w, p):
     return wp
 
 
+@functools.lru_cache(maxsize=None)
+def _winograd_g():
+    """F(2x2, 3x3) kernel-transform matrix G (float64)."""
+    return np.array(
+        [[1.0, 0.0, 0.0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0.0, 0.0, 1.0]]
+    )
+
+
+def _winograd_conv(x, w, bias, precision):
+    """3x3 SAME correlation via Winograd F(2x2, 3x3): y = relu(conv(x) + b).
+
+    2.25x fewer matmul MACs than direct convolution (16 element-products
+    per 2x2 output tile vs 9 per output): input tiles transform with the
+    4-tap B^T combos (VPU adds), the 16 per-position (tiles, Ci)@(Ci, Co)
+    matmuls carry all the MACs, and the 2x2 outputs come back through the
+    A^T combos. Kernels transform host-side in float64. Round-5 A/B
+    candidate for the DNSMOS trunk (round-4 verdict item #3): the trunk's
+    conv1 measures at 72% of its FLOP peak, so a FLOP cut is the one lever
+    packing reformulations couldn't reach. Exactness pinned vs the direct
+    conv in tests/test_dnsmos.py.
+    """
+    n, h, wdt, ci = x.shape
+    co = w.shape[3]
+    ht, wt = -(-h // 2), -(-wdt // 2)
+    # SAME halo: 1 left/top + enough right/bottom to cover the tile grid
+    xp = jnp.pad(x, ((0, 0), (1, 2 * ht - h + 1), (1, 2 * wt - wdt + 1), (0, 0)))
+
+    def combo(e):
+        # B^T along one axis: [e0-e2, e1+e2, e2-e1, e1-e3]
+        return [e[0] - e[2], e[1] + e[2], e[2] - e[1], e[1] - e[3]]
+
+    d = [
+        [xp[:, a : a + 2 * ht : 2, b : b + 2 * wt : 2, :] for b in range(4)]
+        for a in range(4)
+    ]
+    rows = [combo([d[a][b] for a in range(4)]) for b in range(4)]  # [b][u]
+    v = [combo([rows[b][u] for b in range(4)]) for u in range(4)]  # [u][v]
+
+    g = _winograd_g()
+    u_np = np.einsum("ua,vb,abio->uvio", g, g, np.asarray(w, dtype=np.float64))
+    m = [
+        [
+            jnp.einsum(
+                "nhwi,io->nhwo",
+                v[uu][vv],
+                jnp.asarray(u_np[uu, vv], dtype=jnp.float32).astype(x.dtype),
+                precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+            for vv in range(4)
+        ]
+        for uu in range(4)
+    ]
+
+    def out_combo(e):
+        # A^T along one axis: [e0+e1+e2, e1-e2-e3]
+        return [e[0] + e[1] + e[2], e[1] - e[2] - e[3]]
+
+    orows = [out_combo([m[uu][vv] for uu in range(4)]) for vv in range(4)]
+    y = [out_combo([orows[vv][p] for vv in range(4)]) for p in range(2)]  # [p][q]
+    # interleave the 2x2 tile outputs back to (N, 2ht, 2wt, Co)
+    yy = jnp.stack(
+        [jnp.stack([y[0][0], y[0][1]], axis=3),
+         jnp.stack([y[1][0], y[1][1]], axis=3)],
+        axis=2,
+    )  # (N, ht, 2, wt, 2, Co)
+    full = yy.reshape(n, 2 * ht, 2 * wt, co)[:, :h, :wdt]
+    return jnp.maximum(full + bias, 0.0).astype(x.dtype)
+
+
 def _conv_layer(params, x, n, precision, pack=None):
     in_dtype = x.dtype  # conv output is fp32 (preferred_element_type); keep
     # the activation stream in the caller's dtype so bf16 mode stays bf16
     w = params[f"conv{n}_w"]
     p = 1 if pack is None else pack[n]
+    if p == "w":
+        return _winograd_conv(x, w, params[f"conv{n}_b"], precision)
     if p > 1:
         batch, height, width, _ = x.shape
         co = w.shape[3]

@@ -166,6 +166,10 @@ def attn_block(
             (1, t + pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, t + pad, d), x.dtype),
+        # weights + one head's fp32 logits + the bf16 qkv/context measure
+        # ~22 MB of scoped VMEM at the bench shape — over the compiler's
+        # 16 MB default, small next to the chip's physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(xb, wqkv, bqkv, wo, bo, lns, lnb)
     return out[:, :t] if pad else out

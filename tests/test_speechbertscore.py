@@ -278,3 +278,46 @@ def test_dnsmos_conv_pack_validates():
 
     with pytest.raises(ValueError):
         DNSMOS(conv_pack="MXU")
+
+
+def test_attention_block_kernel_matches_einsum():
+    """Round-5: the fused attention-block megakernel (QKV + softmax + AV +
+    o-proj + residual + post-LN in one Pallas kernel) must reproduce the
+    einsum path's block output to bf16-class accuracy, including the
+    padded-T masking path."""
+    import jax.numpy as jnp
+
+    from fast_speech_enhancement_metrics_tpu.models.hubert import (
+        _attention,
+        _layer_norm,
+    )
+    from fast_speech_enhancement_metrics_tpu.ops.attn_block_pallas import (
+        attn_block,
+    )
+
+    rs = np.random.RandomState(7)
+    d, H, t = 64, 4, 43  # t deliberately not a sublane multiple
+    p = {
+        "q_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "k_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "v_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "o_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "q_b": jnp.asarray(rs.randn(d) * 0.1, jnp.float32),
+        "k_b": jnp.asarray(rs.randn(d) * 0.1, jnp.float32),
+        "v_b": jnp.asarray(rs.randn(d) * 0.1, jnp.float32),
+        "o_b": jnp.asarray(rs.randn(d) * 0.1, jnp.float32),
+        "ln1_s": jnp.ones(d), "ln1_b": jnp.zeros(d),
+    }
+    x = jnp.asarray(rs.randn(2, t, d) * 0.5, jnp.float32)
+    ref = _layer_norm(
+        x + _attention(p, x, H, "highest", "einsum", "exact"),
+        p["ln1_s"], p["ln1_b"], 1e-5,
+    )
+    for softmax in ("exp2", "exact"):
+        got = attn_block(p, x, H, 1e-5, softmax=softmax, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-2, rtol=0
+        )
+        # bf16-class, not garbage: the bulk must agree much tighter
+        med = np.median(np.abs(np.asarray(got) - np.asarray(ref)))
+        assert med < 3e-3
