@@ -286,20 +286,26 @@ def _encoder_layer(
         h = jax.nn.gelu(_matmul(h, p["ff_w1"], precision) + p["ff_b1"], approximate=approx)
         return x + (_matmul(h, p["ff_w2"], precision) + p["ff_b2"])
     # post-LN (HuBERT-base / mHuBERT-147)
-    if attention_impl == "block":
+    if attention_impl in ("block", "block_ffn", "block_int8"):
         # whole attention block (QKV -> softmax -> AV -> o-proj -> residual
         # -> LN) as ONE Pallas kernel: HBM sees x once in / once out instead
         # of the qkv / (H,T,T) probability / context round-trips
         # (ops/attn_block_pallas.py). Default-precision class only.
+        # "block_ffn" additionally fuses the FFN block the same way.
         from fast_speech_enhancement_metrics_tpu.ops.attn_block_pallas import (
             attn_block,
+            ffn_block,
         )
 
+        interp = jax.default_backend() != "tpu"
         x = attn_block(
             p, x, config.num_attention_heads, eps,
             softmax="exp2" if softmax == "exp2" else "exact",
-            interpret=jax.default_backend() != "tpu",
+            interpret=interp,
+            quant="int8" if attention_impl == "block_int8" else None,
         )
+        if attention_impl == "block_ffn":
+            return ffn_block(p, x, eps, gelu=gelu, interpret=interp)
     else:
         x = _layer_norm(
             x

@@ -48,20 +48,25 @@ ds = den[:8]
 oracle = call(DNSMOS(precision="highest"), ds)
 
 
-def acc(label, **kw):
-    out = call(DNSMOS(**kw), ds)
+def acc(label, chunk_gb=None, **kw):
+    m = DNSMOS(**kw)
+    if chunk_gb is not None:
+        m.shared_chunk_gb = chunk_gb  # attribute, not a ctor kwarg
+    out = call(m, ds)
     dev = max(np.abs(out[k] - oracle[k]).max() for k in ("SIG", "BAK", "OVRL"))
     print(f"# max-over-scores dev vs fp32 [{label:12s}] {dev:.2e}", flush=True)
 
 
 acc("direct_bf16", conv_dtype=jnp.bfloat16)
-acc("wino_bf16", conv_dtype=jnp.bfloat16, conv_pack="winograd")
+acc("wino_bf16", conv_dtype=jnp.bfloat16, conv_pack="winograd", chunk_gb=0.4)
 acc("direct_high", precision="high")
-acc("wino_high", precision="high", conv_pack="winograd")
+acc("wino_high", precision="high", conv_pack="winograd", chunk_gb=0.4)
 
 # --- throughput ---------------------------------------------------------------
-def make(label, **kw):
+def make(label, chunk_gb=None, **kw):
     m = DNSMOS(**kw)
+    if chunk_gb is not None:
+        m.shared_chunk_gb = chunk_gb
     t0 = time.perf_counter()
     out = call(m)
     print(
@@ -74,9 +79,11 @@ def make(label, **kw):
 
 metrics = {
     "direct_bf16": make("direct_bf16", conv_dtype=jnp.bfloat16),
-    "wino_bf16": make("wino_bf16", conv_dtype=jnp.bfloat16, conv_pack="winograd"),
+    # winograd materializes 16 V/M tensors per layer in XLA: row-chunk to
+    # keep transients inside HBM (the unchunked graph crashed the worker)
+    "wino_bf16": make("wino_bf16", conv_dtype=jnp.bfloat16, conv_pack="winograd", chunk_gb=0.4),
     "direct_high": make("direct_high", precision="high"),
-    "wino_high": make("wino_high", precision="high", conv_pack="winograd"),
+    "wino_high": make("wino_high", precision="high", conv_pack="winograd", chunk_gb=0.4),
 }
 
 reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3

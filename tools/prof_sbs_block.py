@@ -63,6 +63,8 @@ def acc(label, **kw):
 
 acc("einsum+exp2", softmax="exp2", attention_impl="einsum")
 acc("block", softmax="exp2", attention_impl="block")
+acc("block_ffn", softmax="exp2", attention_impl="block_ffn")
+acc("block_int8", softmax="exp2", attention_impl="block_int8")
 
 # --- throughput ---------------------------------------------------------------
 def make(label, **kw):
@@ -80,6 +82,8 @@ def make(label, **kw):
 metrics = {
     "einsum": make("einsum", attention_impl="einsum"),
     "block": make("block", attention_impl="block"),
+    "block_ffn": make("block_ffn", attention_impl="block_ffn"),
+    "block_int8": make("block_int8", attention_impl="block_int8"),
 }
 
 reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
