@@ -166,21 +166,25 @@ class SpeechBERTScore(BaseMetric):
             # 40k frames (~13 minutes of audio); past that only the
             # K-blocked flash kernel's VMEM footprint stays bounded
             return "sdpa" if frames <= 40000 else "flash"
-        # Round 5: the fused attention-BLOCK megakernel (QKV + exp2 softmax
-        # + AV + o-proj + residual + post-LN in one Pallas kernel,
-        # ops/attn_block_pallas.py) measured +25.9% end-to-end over einsum
-        # at the bench shape (4902 vs 3895 audio-s/s interleaved,
-        # tools/prof_sbs_block.py) at the same F1 class (1.0e-4 vs 8.7e-5
-        # dev vs fp32): the block's qkv/probability/context tensors never
-        # touch HBM. Default-precision post-LN short-sequence regime only —
-        # it is a bf16 kernel, it fuses across the residual+LN boundary
-        # (post-LN structure), and under TP the q/k/v weights are sharded.
+        # Round 5: the fused block megakernels (attention block: QKV + exp2
+        # softmax + AV + o-proj + residual + post-LN in one Pallas kernel;
+        # FFN block: W1 + gelu + W2 + residual + post-LN in another —
+        # ops/attn_block_pallas.py) measured +32% end-to-end over einsum at
+        # the bench shape (5062 vs 3838 audio-s/s interleaved,
+        # tools/prof_sbs_block.py) at the same F1 class (8.7e-5 dev vs
+        # fp32): the qkv / (H,T,T) probability / context / FFN-hidden
+        # tensors never touch HBM. Default-precision post-LN short-sequence
+        # regime only — these are bf16 kernels, they fuse across the
+        # residual+LN boundaries (post-LN structure), and under TP the
+        # per-layer weights are sharded. (attention_impl="block_int8" is
+        # the measured-NEGATIVE int8 screening mode: 4617 audio-s/s —
+        # slower than the bf16 block — at 2.4e-2 F1.)
         if (
             self.precision in (None, "default")
             and self.mesh is None
             and not self.config.do_stable_layer_norm
         ):
-            return "block"
+            return "block_ffn"
         return "einsum"
 
     def _f1_from_embeddings(self, clean_emb, denoised_emb):

@@ -321,3 +321,72 @@ def test_attention_block_kernel_matches_einsum():
         # bf16-class, not garbage: the bulk must agree much tighter
         med = np.median(np.abs(np.asarray(got) - np.asarray(ref)))
         assert med < 3e-3
+
+
+def test_ffn_block_kernel_matches_xla():
+    """The fused FFN-block kernel must reproduce LN(x + FFN(x)) to
+    bf16-class accuracy (both gelu variants, split hidden slabs)."""
+    import jax.numpy as jnp
+
+    from fast_speech_enhancement_metrics_tpu.models.hubert import (
+        _layer_norm,
+        _matmul,
+    )
+    from fast_speech_enhancement_metrics_tpu.ops.attn_block_pallas import (
+        ffn_block,
+    )
+    import jax
+
+    rs = np.random.RandomState(9)
+    d, ffn, t = 64, 256, 43
+    p = {
+        "ff_w1": jnp.asarray(rs.randn(d, ffn) * 0.1, jnp.float32),
+        "ff_b1": jnp.asarray(rs.randn(ffn) * 0.1, jnp.float32),
+        "ff_w2": jnp.asarray(rs.randn(ffn, d) * 0.1, jnp.float32),
+        "ff_b2": jnp.asarray(rs.randn(d) * 0.1, jnp.float32),
+        "ln2_s": jnp.ones(d), "ln2_b": jnp.zeros(d),
+    }
+    x = jnp.asarray(rs.randn(2, t, d) * 0.5, jnp.float32)
+    for gelu in ("tanh", "erf"):
+        h = jax.nn.gelu(
+            _matmul(x, p["ff_w1"], "highest") + p["ff_b1"],
+            approximate=gelu == "tanh",
+        )
+        ref = _layer_norm(
+            x + _matmul(h, p["ff_w2"], "highest") + p["ff_b2"],
+            p["ln2_s"], p["ln2_b"], 1e-5,
+        )
+        got = ffn_block(p, x, 1e-5, gelu=gelu, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-2, rtol=0
+        )
+        assert np.median(np.abs(np.asarray(got) - np.asarray(ref))) < 3e-3
+
+
+def test_attn_block_int8_screening_class():
+    """int8 screening mode: stays a rough approximation of the block (its
+    whole point is out-of-contract speed) but must not be garbage — bulk
+    agreement within the int8 class."""
+    import jax.numpy as jnp
+
+    from fast_speech_enhancement_metrics_tpu.ops.attn_block_pallas import (
+        attn_block,
+    )
+
+    rs = np.random.RandomState(11)
+    d, H, t = 64, 4, 40
+    p = {
+        "q_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "k_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "v_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "o_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "q_b": jnp.zeros(d), "k_b": jnp.zeros(d), "v_b": jnp.zeros(d),
+        "o_b": jnp.zeros(d),
+        "ln1_s": jnp.ones(d), "ln1_b": jnp.zeros(d),
+    }
+    x = jnp.asarray(rs.randn(2, t, d), jnp.float32)
+    ref = attn_block(p, x, H, 1e-5, softmax="exp2", interpret=True)
+    got = attn_block(p, x, H, 1e-5, softmax="exp2", interpret=True, quant="int8")
+    diff = np.abs(np.asarray(got) - np.asarray(ref))
+    assert np.median(diff) < 0.05
+    assert diff.max() < 0.5
