@@ -238,33 +238,18 @@ def _lsd_wholesig_raw_kernel(
     (R*NC, hop) matmul amortizes them. Needs the raised VMEM cap.
     """
     b = pl.program_id(0)
-    # per-row 2D slices + sublane concat (a (R, NC, hop) -> (R*NC, hop)
-    # reshape trips a Mosaic layout-inference crash)
-    c_rows = [c_ref[r] for r in range(rows)]
-    d_rows = [d_ref[r] for r in range(rows)]
-    scales = []
-    for r in range(rows):
-        if in_kernel_scale:
-            num = jnp.sum(c_rows[r] * d_rows[r])
-            den = jnp.sum(d_rows[r] * d_rows[r])
-            scales.append(num / (den + eps))
-        else:
-            scales.append(scale_ref[b * rows + r, 0])
-    chunks_c = c_rows[0] if rows == 1 else jnp.concatenate(c_rows, axis=0)
-    d_scaled = [d_rows[r] * scales[r] for r in range(rows)]
-    chunks_d = d_scaled[0] if rows == 1 else jnp.concatenate(d_scaled, axis=0)
 
-    ac = _dot_f32(chunks_c, w_ref[:], precision)  # (rows*NC, 2nb)
-    ad = _dot_f32(chunks_d, w_ref[:], precision)
-    qc_all = _chunk_nyquist(chunks_c)
-    qd_all = _chunk_nyquist(chunks_d)
-
-    nc = c_ref.shape[1]
-    nb = ac.shape[-1] // 2
-    sign = _sign_lane(nb)
-
-    def mags(a, q):
+    def mags(chunks, scale):
+        # dot -> epilogue per SIGNAL: one signal's VPU epilogue overlaps the
+        # next signal's MXU dot in Mosaic's schedule (a dots-first/
+        # epilogues-later ordering measured ~25% slower end-to-end)
+        if scale is not None:
+            chunks = chunks * scale
+        a = _dot_f32(chunks, w_ref[:], precision)  # (NC, 2nb)
+        nb = a.shape[-1] // 2
+        sign = _sign_lane(nb)
         are, aim = a[:, :nb], a[:, nb:]
+        q = _chunk_nyquist(chunks)  # (NC, 1)
         # interior frames 1..NC-1
         m_int, m_edge = _hann_mag_sq(
             are[:-1] + sign * are[1:],
@@ -283,13 +268,19 @@ def _lsd_wholesig_raw_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    n_bins_total = nb + 1  # n_fft/2 + 1 one-sided bins (nb-2 interior + 3 edge)
     acc = jnp.zeros_like(out_ref)
     out_rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
     for r in range(rows):
-        sl = slice(r * nc, (r + 1) * nc)
-        (ci, ce), (cei, cee) = mags(ac[sl], qc_all[sl])
-        (di, de), (dei, dee) = mags(ad[sl], qd_all[sl])
+        cc, dd = c_ref[r], d_ref[r]
+        if in_kernel_scale:
+            num = jnp.sum(cc * dd)
+            den = jnp.sum(dd * dd)
+            scale = num / (den + eps)
+        else:
+            scale = scale_ref[b * rows + r, 0]
+        (ci, ce), (cei, cee) = mags(cc, None)
+        (di, de), (dei, dee) = mags(dd, scale)
+        n_bins_total = ci.shape[1] + 3  # n_fft/2 + 1 one-sided bins
         # keepdims: 1D intermediates trip a Mosaic relayout bug at this size
         frame_ms = (
             jnp.sum(_sq_log_ratio(ci, di, eps), axis=1, keepdims=True)
