@@ -55,9 +55,10 @@ def test_lsd_long_audio_takes_framed_path(monkeypatch):
 
 
 def test_sbs_attention_policy_switches_to_sdpa():
-    """The auto policy: einsum at short utterances, sdpa past ~1500 frames
-    or the logits HBM bound, flash only past sdpa's resident-K/V VMEM range
-    (~20k frames)."""
+    """The auto policy: fused block megakernels at short utterances on the
+    default-precision post-LN path (round 5; einsum at higher precisions),
+    sdpa past ~1500 frames or the logits HBM bound, flash only past sdpa's
+    resident-K/V VMEM range (~20k frames)."""
     if not any(d.platform == "tpu" for d in jax.devices()):
         pytest.skip("policy resolves to einsum off-TPU")
     from fast_speech_enhancement_metrics_tpu.models.hubert import (
@@ -68,9 +69,11 @@ def test_sbs_attention_policy_switches_to_sdpa():
     m = SpeechBERTScore(
         params=init_params(jax.random.key(0), MHUBERT_147_CONFIG)
     )
-    assert m._resolve_impl(16 * 16000, 128) == "einsum"
+    assert m._resolve_impl(16 * 16000, 128) == "block_ffn"
     assert m._resolve_impl(600 * 16000, 4) == "sdpa"
     assert m._resolve_impl(900 * 16000, 4) == "flash"
+    m_hi = SpeechBERTScore(params=m.params, precision="highest")
+    assert m_hi._resolve_impl(16 * 16000, 128) == "einsum"
 
 
 @pytest.mark.skipif(
