@@ -183,6 +183,7 @@ class SpeechBERTScore(BaseMetric):
             self.precision in (None, "default")
             and self.mesh is None
             and not self.config.do_stable_layer_norm
+            and self.config.num_attention_heads % 2 == 0  # head-pair slices
         ):
             return "block_ffn"
         return "einsum"

@@ -304,7 +304,10 @@ def _encoder_layer(
             interpret=interp,
             quant="int8" if attention_impl == "block_int8" else None,
         )
-        if attention_impl == "block_ffn":
+        # Mosaic has no erf lowering — the FFN kernel is tanh-GELU only
+        # (the default-precision path always uses tanh); erf callers get
+        # the XLA FFN below after the fused attention block
+        if attention_impl == "block_ffn" and (gelu == "tanh" or interp):
             return ffn_block(p, x, eps, gelu=gelu, interpret=interp)
     else:
         x = _layer_norm(
