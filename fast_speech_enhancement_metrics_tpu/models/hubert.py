@@ -286,6 +286,19 @@ def _encoder_layer(
         h = jax.nn.gelu(_matmul(h, p["ff_w1"], precision) + p["ff_b1"], approximate=approx)
         return x + (_matmul(h, p["ff_w2"], precision) + p["ff_b2"])
     # post-LN (HuBERT-base / mHuBERT-147)
+    if attention_impl == "layer_block" and gelu == "tanh":
+        # whole layer (attention + FFN blocks) in ONE Pallas kernel
+        from fast_speech_enhancement_metrics_tpu.ops.attn_block_pallas import (
+            layer_block,
+        )
+
+        return layer_block(
+            p, x, config.num_attention_heads, eps,
+            softmax="exp2" if softmax == "exp2" else "exact",
+            gelu=gelu, interpret=jax.default_backend() != "tpu",
+        )
+    if attention_impl == "layer_block":
+        attention_impl = "block_ffn"  # erf GELU: separate kernels + XLA FFN
     if attention_impl in ("block", "block_ffn", "block_int8"):
         # whole attention block (QKV -> softmax -> AV -> o-proj -> residual
         # -> LN) as ONE Pallas kernel: HBM sees x once in / once out instead

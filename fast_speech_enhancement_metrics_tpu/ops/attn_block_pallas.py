@@ -216,7 +216,9 @@ def _ffn_block_kernel(
     (T, ffn/splits) fp32 slab is ever live; each slab's contribution to the
     output accumulates through the second matmul immediately.
     """
-    x = x_ref[0]  # (T, d) bf16
+    # the merged layer kernel feeds this an out_ref in the caller's dtype;
+    # the matmul operand is bf16 either way (default-precision class)
+    x = x_ref[0].astype(jnp.bfloat16)  # (T, d)
     d = x.shape[1]
     ffn = w1_ref.shape[1]
     cols = ffn // splits
@@ -286,6 +288,78 @@ def ffn_block(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(xb, w1, b1, w2, b2, lns, lnb)
+    return out[:, :t] if pad else out
+
+
+def _layer_block_kernel(
+    x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref, lnb_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref, out_ref,
+    *, num_heads: int, t_real: int, eps: float, softmax: str, gelu: str,
+    splits: int,
+):
+    """Whole post-LN encoder layer (attention block + FFN block) in ONE
+    kernel: x crosses the attention/FFN boundary inside VMEM."""
+    # attention block writes its result into out_ref, then the FFN block
+    # consumes it from VMEM (out_ref doubles as the intermediate)
+    _attn_block_kernel(
+        x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, lns_ref, lnb_ref, out_ref,
+        num_heads=num_heads, t_real=t_real, eps=eps, softmax=softmax,
+    )
+    _ffn_block_kernel(
+        out_ref, w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref, out_ref,
+        eps=eps, gelu=gelu, splits=splits,
+    )
+
+
+def layer_block(
+    p,
+    x: jnp.ndarray,
+    num_heads: int,
+    eps: float,
+    softmax: str = "exp2",
+    gelu: str = "tanh",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One whole post-LN encoder layer per Pallas invocation — the merged
+    form of ``attn_block`` + ``ffn_block`` (one fewer x round-trip and half
+    the grid steps per layer). Default-precision class; tanh GELU only."""
+    b, t, d = x.shape
+    assert num_heads % 2 == 0 and d % num_heads == 0
+    ffn = p["ff_w1"].shape[1]
+    pad = (-t) % 8
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    wqkv, bqkv, wo, bo, lns, lnb = pack_attn_block_params(p, num_heads, softmax)
+    xb = x.astype(jnp.bfloat16)
+    w1 = p["ff_w1"].astype(jnp.bfloat16)
+    b1 = p["ff_b1"].astype(jnp.float32).reshape(1, -1)
+    w2 = p["ff_w2"].astype(jnp.bfloat16)
+    b2 = p["ff_b2"].astype(jnp.float32).reshape(1, -1)
+    ln2s = p["ln2_s"].astype(jnp.float32).reshape(1, -1)
+    ln2b = p["ln2_b"].astype(jnp.float32).reshape(1, -1)
+
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(
+            _layer_block_kernel,
+            num_heads=num_heads, t_real=t, eps=eps, softmax=softmax,
+            gelu=gelu, splits=2 if ffn % 256 == 0 else 1,
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t + pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            rep(wqkv.shape), rep(bqkv.shape), rep(wo.shape), rep(bo.shape),
+            rep(lns.shape), rep(lnb.shape),
+            rep(w1.shape), rep(b1.shape), rep(w2.shape), rep(b2.shape),
+            rep(ln2s.shape), rep(ln2b.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t + pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t + pad, d), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 2**20),
+        interpret=interpret,
+    )(xb, wqkv, bqkv, wo, bo, lns, lnb, w1, b1, w2, b2, ln2s, ln2b)
     return out[:, :t] if pad else out
 
 

@@ -390,3 +390,40 @@ def test_attn_block_int8_screening_class():
     diff = np.abs(np.asarray(got) - np.asarray(ref))
     assert np.median(diff) < 0.05
     assert diff.max() < 0.5
+
+
+def test_layer_block_matches_separate_blocks():
+    """The merged whole-layer kernel must reproduce the attention-block +
+    FFN-block composition bit-for-bit (same dtypes, same order)."""
+    import jax.numpy as jnp
+
+    from fast_speech_enhancement_metrics_tpu.ops.attn_block_pallas import (
+        attn_block,
+        ffn_block,
+        layer_block,
+    )
+
+    rs = np.random.RandomState(13)
+    d, H, ffn, t = 64, 4, 256, 43
+    p = {
+        "q_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "k_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "v_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "o_w": jnp.asarray(rs.randn(d, d) * 0.1, jnp.float32),
+        "q_b": jnp.zeros(d), "k_b": jnp.zeros(d), "v_b": jnp.zeros(d),
+        "o_b": jnp.zeros(d),
+        "ln1_s": jnp.ones(d), "ln1_b": jnp.zeros(d),
+        "ff_w1": jnp.asarray(rs.randn(d, ffn) * 0.1, jnp.float32),
+        "ff_b1": jnp.zeros(ffn),
+        "ff_w2": jnp.asarray(rs.randn(ffn, d) * 0.1, jnp.float32),
+        "ff_b2": jnp.zeros(d),
+        "ln2_s": jnp.ones(d), "ln2_b": jnp.zeros(d),
+    }
+    x = jnp.asarray(rs.randn(2, t, d) * 0.5, jnp.float32)
+    sep = ffn_block(
+        p, attn_block(p, x, H, 1e-5, softmax="exp2", interpret=True),
+        1e-5, gelu="tanh", interpret=True,
+    )
+    merged = layer_block(p, x, H, 1e-5, softmax="exp2", gelu="tanh",
+                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(sep), np.asarray(merged))

@@ -84,6 +84,7 @@ metrics = {
     "block": make("block", attention_impl="block"),
     "block_ffn": make("block_ffn", attention_impl="block_ffn"),
     "block_int8": make("block_int8", attention_impl="block_int8"),
+    "layer_block": make("layer_block", attention_impl="layer_block"),
 }
 
 reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
