@@ -91,14 +91,15 @@ def run_orchestrator(names: list[str]) -> list[dict]:
     The TPU chip behind the relay is time-shared: a co-tenant can depress a
     run's throughput up to ~4x mid-measurement (visible as a low scan-canary
     TFLOP/s for that worker). Each metric therefore runs ``FSEM_BENCH_BEST_OF``
-    successful attempts (default 2) and the record with the highest
-    throughput is reported as the chip's capability; every attempt's
-    throughput and scan canary are kept in the record (``attempts``) so the
-    spread is auditable.
+    successful attempts (default 3; round 5 measured a steady ~25%-depressed
+    window long enough to swallow two consecutive attempts) and the record
+    with the highest throughput is reported as the chip's capability; every
+    attempt's throughput and scan canary are kept in the record
+    (``attempts``) so the spread is auditable.
     """
     timeout_s = float(os.environ.get("FSEM_BENCH_TIMEOUT", 900))
     attempts = int(os.environ.get("FSEM_BENCH_ATTEMPTS", 3))
-    best_of = int(os.environ.get("FSEM_BENCH_BEST_OF", 2))
+    best_of = int(os.environ.get("FSEM_BENCH_BEST_OF", 3))
 
     details = []
     for name in names:
