@@ -28,6 +28,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 from pathlib import Path
 
 import numpy as np
@@ -100,12 +101,20 @@ def run_orchestrator(names: list[str]) -> list[dict]:
     timeout_s = float(os.environ.get("FSEM_BENCH_TIMEOUT", 900))
     attempts = int(os.environ.get("FSEM_BENCH_ATTEMPTS", 3))
     best_of = int(os.environ.get("FSEM_BENCH_BEST_OF", 3))
+    # total wall budget: once exceeded, each remaining metric takes its
+    # first successful attempt (protects an unknown outer driver timeout
+    # while keeping extra attempts whenever the clock allows)
+    total_budget_s = float(os.environ.get("FSEM_BENCH_TOTAL_BUDGET", 1800))
+    t_start = time.time()
 
     details = []
     for name in names:
         successes: list[dict] = []
         for attempt in range(1, attempts + best_of + 2):
-            if len(successes) >= best_of:
+            over_budget = time.time() - t_start > total_budget_s
+            if successes and over_budget:
+                break
+            if len(successes) >= (1 if over_budget else best_of):
                 # adaptive extra attempt: a >15% spread between successes
                 # means at least one landed in a contended window — sample
                 # once more (bounded by the loop range) to find a quiet one
