@@ -85,7 +85,7 @@ class SpeechBERTScore(BaseMetric):
         #: models/hubert.py::_attention). "auto" ties it to precision like
         #: gelu: exp2 on the reduced-precision default path, exact at
         #: "highest".
-        assert softmax in ("auto", "exact", "exp2")
+        assert softmax in ("auto", "exact", "exp2", "exp2_bf16")
         if softmax == "auto":
             softmax = "exact" if precision == "highest" else "exp2"
         self.softmax = softmax

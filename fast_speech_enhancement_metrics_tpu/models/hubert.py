@@ -313,7 +313,7 @@ def _encoder_layer(
         interp = jax.default_backend() != "tpu"
         x = attn_block(
             p, x, config.num_attention_heads, eps,
-            softmax="exp2" if softmax == "exp2" else "exact",
+            softmax=softmax if softmax in ("exp2", "exp2_bf16") else "exact",
             interpret=interp,
             quant="int8" if attention_impl == "block_int8" else None,
         )

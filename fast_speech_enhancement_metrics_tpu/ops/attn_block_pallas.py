@@ -120,10 +120,14 @@ def _attn_block_kernel(
                 # q pre-scaled by scaling*log2(e); ±60 clamp bounds the
                 # row sum far from fp32 inf (see ops/sdpa_pallas.py)
                 p = jnp.exp2(jnp.clip(s, -100.0, 60.0))
+            elif softmax == "exp2_bf16":
+                # packed-bf16 exponential: halves the VPU element stream of
+                # the (T, T) softmax (the block kernel's largest VPU pass)
+                p = jnp.exp2(jnp.clip(s, -100.0, 60.0).astype(jnp.bfloat16))
             else:
                 m = jnp.max(s, axis=1, keepdims=True)
                 p = jnp.exp(s - m)
-            l = jnp.sum(p, axis=1, keepdims=True)
+            l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
             if int8:
                 # normalize first, then fixed x127 probability quant; v
                 # quantizes per COLUMN (the contraction runs over keys, so
@@ -175,7 +179,7 @@ def pack_attn_block_params(p, num_heads: int, softmax: str, quant=None):
     d = p["q_w"].shape[0]
     head_dim = d // num_heads
     scaling = head_dim**-0.5
-    if softmax == "exp2":
+    if softmax in ("exp2", "exp2_bf16"):
         scaling = scaling * LOG2E
     ws, bs = [], []
     for h in range(num_heads):
