@@ -139,17 +139,13 @@ class SpeechBERTScore(BaseMetric):
         if impl != "auto":
             return impl
         # Measured on v5e (tools/prof_sdpa_long.py, batch 4, bf16): the
-        # single-pass sdpa kernel (ops/sdpa_pallas.py) beats BOTH
-        # alternatives once sequences are long — 64.6 vs einsum 82.6 vs
-        # flash 105.6 ms at 1999 frames, 112.9/143.1/290.6 at 3999, and
-        # 252.5 vs flash 965.2 at 7999 where einsum's per-layer
-        # (rows, heads, T, T) logits exceed HBM. At the short-utterance
-        # bench shape (rows 128, 799 frames) einsum still edges it out
-        # (3766 vs 3563 audio-s/s, tools/prof_sbs_attn.py) because the
-        # shared softmax VPU cost dominates there. "auto" therefore picks
-        # einsum for short utterances and sdpa past ~1500 frames or the
-        # logits HBM bound; the upstream flash kernel lost every measured
-        # point and is never auto-selected.
+        # single-pass sdpa kernel (ops/sdpa_pallas.py) beats einsum and
+        # flash once sequences are long — 64.6 vs einsum 82.6 vs flash
+        # 105.6 ms at 1999 frames, 112.9/143.1/290.6 at 3999, and 252.5 vs
+        # flash 965.2 at 7999 where einsum's per-layer (rows, heads, T, T)
+        # logits exceed HBM; the upstream flash kernel only remains past
+        # sdpa's resident-K/V VMEM range. Short utterances belong to the
+        # round-5 fused block megakernels (see below).
         frames = num_samples // 320
         on_tpu = all(
             d.platform == "tpu"
